@@ -1,0 +1,130 @@
+"""Config system: YAML files byte-compatible with the reference schema.
+
+The reference reads raw nested YAML dicts with string keys and float() casts
+at point of use (`/root/reference/wild_completion/optimizer.py:31-53`,
+`configs/*.yaml`). Here the same YAML schema loads into a typed, frozen
+dataclass that doubles as the static (hashable) configuration of the jitted
+LM optimizer — so changing a weight or tolerance recompiles exactly one
+program, and shapes (frame/ray/sample/point counts) are compile-time
+constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import yaml
+
+
+def load_config(path: str) -> Dict[str, Any]:
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+@dataclasses.dataclass(frozen=True)
+class JointOptConfig:
+    """Static configuration of the joint shape+pose LM optimization.
+
+    Mirrors the `opt:` block of the reference YAML schema
+    (e.g. `configs/wild_pepper.yaml:19-59`).
+    """
+
+    # Sim(3) vs SE(3)
+    scale_on: bool = True
+    # Levenberg-Marquardt
+    lm_on: bool = True
+    lm_eye: bool = False
+    lm_lambda_0: float = 0.1
+    s_damp: float = 1e-3
+    # pose initial guess
+    pose_init_rot_on: bool = True
+    pose_init_scale_on: bool = True
+    # reconstruction (3D SDF) term
+    recon_n_pts: int = 2000
+    recon_cluster_dist_m: float = 0.01
+    recon_robust_th_m: float = 0.01
+    # render term
+    n_fg_pix: int = 200
+    n_bg_pix: int = 200
+    n_bg_pad: int = 20
+    n_frame: int = 10
+    n_sample_on_ray: int = 30
+    log_sdf_occ: bool = True
+    occ_cutoff_m: float = 0.01
+    occlusion_on: bool = True
+    render_robust_th_m: float = 0.05
+    # term weights
+    w_recon: float = 1.0
+    w_depth: float = 5e-2
+    w_mask: float = 5e-4
+    w_codereg: float = 5e-4
+    # convergence
+    max_iter: int = 50
+    epsilon_g: float = 1e-4
+    epsilon_c: float = 1e-2
+    epsilon_t: float = 1e-3
+    epsilon_r: float = 1.0
+    epsilon_s: float = 1e-3
+    robust_iter: int = 5
+    # outlier gates (applied by drivers after optimization)
+    outlier_scale_min: float = 0.5
+    outlier_scale_max: float = 1.25
+    outlier_rot_max_deg: float = 60.0
+
+    @property
+    def pose_dim(self) -> int:
+        return 7 if self.scale_on else 6
+
+    @property
+    def n_rays(self) -> int:
+        return self.n_fg_pix + self.n_bg_pix
+
+    @classmethod
+    def from_dict(cls, cfg: Dict[str, Any]) -> "JointOptConfig":
+        """Build from a reference-schema YAML dict (the `opt:` subtree of the
+        full config, i.e. `cfg['opt']`)."""
+        opt = cfg["opt"] if "opt" in cfg else cfg
+        lm = opt.get("lm", {})
+        pi = opt.get("pose_init", {})
+        rec = opt.get("recon", {})
+        ren = opt.get("render", {})
+        w = opt.get("weight", {})
+        cv = opt.get("converge", {})
+        out = opt.get("outlier", {})
+        d = cls()  # defaults
+        return cls(
+            scale_on=bool(opt.get("scale_on", d.scale_on)),
+            lm_on=bool(lm.get("lm_on", d.lm_on)),
+            lm_eye=bool(lm.get("lm_eye", d.lm_eye)),
+            lm_lambda_0=float(lm.get("lm_lambda_0", d.lm_lambda_0)),
+            s_damp=float(lm.get("s_damp", d.s_damp)),
+            pose_init_rot_on=bool(pi.get("rot_on", d.pose_init_rot_on)),
+            pose_init_scale_on=bool(pi.get("scale_on", d.pose_init_scale_on)),
+            recon_n_pts=int(rec.get("n_pts", d.recon_n_pts)),
+            recon_cluster_dist_m=float(rec.get("cluster_dist_m", d.recon_cluster_dist_m)),
+            recon_robust_th_m=float(rec.get("robust_th_m", d.recon_robust_th_m)),
+            n_fg_pix=int(ren.get("n_fg_pix", d.n_fg_pix)),
+            n_bg_pix=int(ren.get("n_bg_pix", d.n_bg_pix)),
+            n_bg_pad=int(ren.get("n_bg_pad", d.n_bg_pad)),
+            n_frame=int(ren.get("n_frame", d.n_frame)),
+            n_sample_on_ray=int(ren.get("n_sample_on_ray", d.n_sample_on_ray)),
+            log_sdf_occ=bool(ren.get("log_sdf_occ", d.log_sdf_occ)),
+            occ_cutoff_m=float(ren.get("occ_cutoff_m", d.occ_cutoff_m)),
+            occlusion_on=bool(ren.get("occlusion_on", d.occlusion_on)),
+            render_robust_th_m=float(ren.get("robust_th_m", d.render_robust_th_m)),
+            w_recon=float(w.get("w_recon", d.w_recon)),
+            w_depth=float(w.get("w_depth", d.w_depth)),
+            w_mask=float(w.get("w_mask", d.w_mask)),
+            w_codereg=float(w.get("w_codereg", d.w_codereg)),
+            max_iter=int(cv.get("max_iter", d.max_iter)),
+            epsilon_g=float(cv.get("epsilon_g", d.epsilon_g)),
+            epsilon_c=float(cv.get("epsilon_c", d.epsilon_c)),
+            epsilon_t=float(cv.get("epsilon_t", d.epsilon_t)),
+            epsilon_r=float(cv.get("epsilon_r", d.epsilon_r)),
+            epsilon_s=float(cv.get("epsilon_s", d.epsilon_s)),
+            robust_iter=int(opt.get("robust_iter", d.robust_iter)),
+            outlier_scale_min=float(out.get("scale_min", d.outlier_scale_min)),
+            outlier_scale_max=float(out.get("scale_max", d.outlier_scale_max)),
+            outlier_rot_max_deg=float(out.get("rot_max_deg", d.outlier_rot_max_deg)),
+        )

@@ -1,0 +1,116 @@
+"""Mesh extraction: batched on-TPU SDF grid decode + host iso-surfacing.
+
+Re-design of the reference `MeshExtractor` (`/root/reference/wild_completion/mesher.py`)
+and its helpers (`utils.py:542-588`):
+
+  * the voxel grid lives as a [D^3, 3] constant with the reference's exact
+    layout (x slowest, z fastest; `create_voxel_grid`, `utils.py:542-562`)
+    scaled by the cube radius;
+  * the grid SDF decode is one jitted call — and `extract_batch` vmaps it
+    over a whole submap's worth of latent codes at once (the reference
+    decodes fruit by fruit in 64^3-chunked torch calls, `utils.py:144-172`);
+  * iso-surfacing runs on host via the native marching-tetrahedra kernel
+    (`native/`), with the reference's vertex frame convention: verts in
+    [-1, 1] cube coordinates scaled by cube_radius
+    (`convert_sdf_voxels_to_mesh`, `utils.py:565-588`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hortimapping_tpu import native
+from hortimapping_tpu.data.mesh import TriangleMesh
+from hortimapping_tpu.models.decoder import DecoderSpec, Params, decoder_sdf
+
+
+def create_voxel_grid(vol_dim: int) -> np.ndarray:
+    """[-1, 1]^3 grid, (D^3, 3), ordering identical to `utils.py:542-562`
+    (row index i -> x = i // D^2, y = (i // D) % D, z = i % D)."""
+    idx = np.arange(vol_dim**3)
+    voxel_size = 2.0 / (vol_dim - 1)
+    x = (idx // (vol_dim * vol_dim)) % vol_dim
+    y = (idx // vol_dim) % vol_dim
+    z = idx % vol_dim
+    pts = np.stack([x, y, z], axis=-1).astype(np.float32)
+    return pts * voxel_size - 1.0
+
+
+class MeshExtractor:
+    """Decode latent codes to watertight meshes.
+
+    voxels_dim follows the reference formula
+    `int(2 * object_radius_max_m * 1e3 / mc_res_mm)` (`test_wild_completion.py:70`).
+    """
+
+    def __init__(
+        self,
+        params: Params,
+        spec: DecoderSpec,
+        voxels_dim: int = 64,
+        cube_radius: float = 1.0,
+    ):
+        self.params = params
+        self.spec = spec
+        self.voxels_dim = voxels_dim
+        self.cube_radius = cube_radius
+        self.voxel_points = jnp.asarray(create_voxel_grid(voxels_dim)) * cube_radius
+
+        @partial(jax.jit)
+        def _decode_grid(latent):
+            return decoder_sdf(params, spec, latent, self.voxel_points)
+
+        self._decode_grid = _decode_grid
+        self._decode_grid_batch = jax.jit(jax.vmap(_decode_grid))
+
+    def decode_sdf_grid(self, latent: jnp.ndarray) -> np.ndarray:
+        """(D, D, D) SDF values for one code."""
+        d = self.voxels_dim
+        return np.asarray(self._decode_grid(jnp.asarray(latent))).reshape(d, d, d)
+
+    def extract_mesh_from_code(self, latent: jnp.ndarray) -> TriangleMesh:
+        """Reference `extract_mesh_from_code` (`mesher.py:14-24`): verts are
+        returned in object frame, cube-radius scaled."""
+        grid = self.decode_sdf_grid(latent)
+        return self._grid_to_mesh(grid)
+
+    def extract_batch(self, latents: jnp.ndarray) -> List[TriangleMesh]:
+        """All fruits of a submap: one vmapped TPU decode, host MT per fruit."""
+        d = self.voxels_dim
+        grids = np.asarray(self._decode_grid_batch(jnp.asarray(latents))).reshape(-1, d, d, d)
+        return [self._grid_to_mesh(g) for g in grids]
+
+    def _grid_to_mesh(self, grid: np.ndarray) -> TriangleMesh:
+        voxel_size = 2.0 / (self.voxels_dim - 1)
+        verts, faces = native.marching_tetrahedra(grid, iso=0.0, spacing=voxel_size)
+        # voxel-index space -> [-1,1] cube -> object frame (utils.py:579-586)
+        verts = (verts - 1.0) * self.cube_radius
+        return TriangleMesh(verts.astype(np.float32), faces.astype(np.int32))
+
+    def complete_mesh(
+        self, latent: jnp.ndarray, transform: np.ndarray, color: Optional[Sequence[float]] = None
+    ) -> TriangleMesh:
+        """Reference `complete_mesh` (`mesher.py:26-32`): extract, color, pose."""
+        mesh = self.extract_mesh_from_code(latent)
+        if color is not None:
+            mesh = mesh.paint_uniform_color(color)
+        return mesh.transform(np.asarray(transform))
+
+    def complete_mesh_batch(
+        self,
+        latents: jnp.ndarray,
+        transforms: Sequence[np.ndarray],
+        colors: Optional[Sequence[Sequence[float]]] = None,
+    ) -> List[TriangleMesh]:
+        meshes = self.extract_batch(latents)
+        out = []
+        for i, mesh in enumerate(meshes):
+            if colors is not None:
+                mesh = mesh.paint_uniform_color(colors[i])
+            out.append(mesh.transform(np.asarray(transforms[i])))
+        return out

@@ -1,0 +1,210 @@
+"""End-to-end joint shape+pose optimization on the synthetic category.
+
+Ground truth is analytic (ellipsoid family), so completion and pose errors
+are exact: starting from a perturbed pose and the mean (zero) code, the
+fused LM loop must recover translation, scale, and the shape surface.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hortimapping_tpu.config import JointOptConfig
+from hortimapping_tpu.models.workspace import config_decoder
+from hortimapping_tpu.optim.lm import (
+    shape_pose_joint_opt,
+    shape_pose_joint_opt_batched,
+    shape_opt_deepsdf,
+)
+from hortimapping_tpu.tools.synthetic import (
+    SyntheticCategory,
+    ellipsoid_radii,
+    make_scene,
+)
+
+ASSET_DIR = os.path.join(os.path.dirname(__file__), "..", "assets", "synthetic_small_8")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(ASSET_DIR), reason="synthetic assets not built"
+)
+
+CFG = JointOptConfig(
+    scale_on=True,
+    lm_on=True,
+    lm_eye=False,
+    lm_lambda_0=0.1,
+    s_damp=1e-3,
+    recon_n_pts=300,
+    n_fg_pix=64,
+    n_bg_pix=64,
+    n_frame=5,
+    n_sample_on_ray=24,
+    log_sdf_occ=True,
+    occ_cutoff_m=0.01,
+    occlusion_on=True,
+    max_iter=30,
+    robust_iter=5,
+)
+CUBE_RADIUS = 0.08
+
+
+@pytest.fixture(scope="module")
+def world():
+    params, spec = config_decoder(ASSET_DIR)
+    with np.load(os.path.join(ASSET_DIR, "native", "latest.npz")) as z:
+        proj = z["synthetic.projection"]
+        base_radius = float(z["synthetic.base_radius"])
+    cat = SyntheticCategory(spec=spec, base_radius=base_radius)
+    return params, spec, cat, proj
+
+
+def _gt_pose(center, scale=1.0, yaw=0.0):
+    """T_wo with uniform scale; returns (T_wo, T_ow)."""
+    c, s = np.cos(yaw), np.sin(yaw)
+    R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]]) * scale
+    T_wo = np.eye(4)
+    T_wo[:3, :3] = R
+    T_wo[:3, 3] = center
+    return T_wo, np.linalg.inv(T_wo)
+
+
+def _fruit(world, seed, center, scale=1.0):
+    params, spec, cat, proj = world
+    rng = np.random.default_rng(seed)
+    code_gt = (rng.normal(size=spec.code_length) * 0.4).astype(np.float32)
+    T_wo_gt, _ = _gt_pose(np.asarray(center), scale=scale, yaw=0.2)
+    obs, full_surface = make_scene(
+        cat, code_gt, T_wo_gt,
+        n_frames=CFG.n_frame, n_fg=CFG.n_fg_pix, n_bg=CFG.n_bg_pix,
+        n_points=CFG.recon_n_pts, seed=seed,
+    )
+    return code_gt, T_wo_gt, obs, full_surface
+
+
+def _translation_error(T_ow, T_wo_gt):
+    T_wo = np.linalg.inv(np.asarray(T_ow))
+    return float(np.linalg.norm(T_wo[:3, 3] - T_wo_gt[:3, 3]))
+
+
+def _scale_of(T_wo):
+    return float(np.linalg.det(T_wo[:3, :3]) ** (1 / 3))
+
+
+def test_joint_opt_recovers_pose_and_shape(world):
+    params, spec, cat, proj = world
+    center = np.array([0.4, 0.1, 0.2])
+    code_gt, T_wo_gt, obs, _ = _fruit(world, 11, center, scale=1.1)
+
+    # perturbed init: translation off by 1.5 cm, scale 1.0, no rotation
+    T_wo_init, T_ow_init = _gt_pose(center + np.array([0.010, -0.008, 0.006]))
+    latent0 = jnp.zeros(spec.code_length)
+
+    init_terr = _translation_error(T_ow_init, T_wo_gt)
+    res = shape_pose_joint_opt(
+        params, spec, CFG, obs, latent0, jnp.asarray(T_ow_init, jnp.float32),
+        CUBE_RADIUS, pose_known=False,
+    )
+    assert not bool(res.failed)
+    iters = int(res.iter_count)
+    assert 2 < iters <= CFG.max_iter
+
+    terr = _translation_error(res.T_ow, T_wo_gt)
+    assert terr < 0.5 * init_terr, f"translation {init_terr*1000:.1f} -> {terr*1000:.1f} mm"
+    assert terr < 0.006, f"final translation error {terr*1000:.1f} mm"
+
+    # recovered world-frame scale within ~10%
+    s_est = _scale_of(np.linalg.inv(np.asarray(res.T_ow)))
+    assert abs(s_est - 1.1) < 0.12, f"scale {s_est} vs 1.1"
+
+    # completion quality: decoded sdf at GT surface points (object frame of
+    # the ESTIMATE) should be near zero -> surface error in world units
+    radii = np.asarray(ellipsoid_radii(jnp.asarray(code_gt), jnp.asarray(proj), cat.base_radius))
+    dirs = np.random.default_rng(5).normal(size=(500, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    gt_surf_w = (dirs * radii) @ T_wo_gt[:3, :3].T + T_wo_gt[:3, 3]
+    T_ow_est = np.asarray(res.T_ow)
+    pts_o = gt_surf_w @ T_ow_est[:3, :3].T + T_ow_est[:3, 3]
+    from hortimapping_tpu.models.decoder import decoder_sdf
+
+    sdf = np.asarray(decoder_sdf(params, spec, res.latent, jnp.asarray(pts_o, jnp.float32)))
+    s_obj = np.linalg.det(T_ow_est[:3, :3]) ** (1 / 3)
+    world_err = np.abs(sdf) / s_obj
+    assert world_err.mean() < 0.006, f"mean completion error {world_err.mean()*1000:.1f} mm"
+
+
+def test_batched_matches_single(world):
+    params, spec, cat, proj = world
+    fruits = [
+        _fruit(world, 21, [0.3, 0.0, 0.1], 1.0),
+        _fruit(world, 22, [-0.2, 0.15, 0.3], 1.1),
+        _fruit(world, 23, [0.0, -0.1, -0.25], 0.95),
+    ]
+    lat0, T0, obs_list = [], [], []
+    for code_gt, T_wo_gt, obs, _ in fruits:
+        center = T_wo_gt[:3, 3]
+        _, T_ow_init = _gt_pose(center + np.array([0.008, 0.005, -0.006]))
+        lat0.append(np.zeros(spec.code_length, np.float32))
+        T0.append(T_ow_init.astype(np.float32))
+        obs_list.append(obs)
+
+    singles = [
+        shape_pose_joint_opt(params, spec, CFG, obs_list[i], jnp.asarray(lat0[i]),
+                             jnp.asarray(T0[i]), CUBE_RADIUS)
+        for i in range(3)
+    ]
+    batched_obs = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *obs_list)
+    batched = shape_pose_joint_opt_batched(
+        params, spec, CFG, batched_obs, jnp.asarray(np.stack(lat0)),
+        jnp.asarray(np.stack(T0)), CUBE_RADIUS,
+    )
+    # Exact control flow parity (per-lane iteration counts). Values drift by
+    # f32 reduction-order differences amplified over LM iterations, so assert
+    # solver-quality parity rather than bitwise equality.
+    for i in range(3):
+        assert int(batched.iter_count[i]) == int(singles[i].iter_count)
+        np.testing.assert_allclose(
+            np.asarray(batched.latent[i]), np.asarray(singles[i].latent), atol=0.03
+        )
+        T_wo_gt = fruits[i][1]
+        e_single = _translation_error(singles[i].T_ow, T_wo_gt)
+        e_batched = _translation_error(batched.T_ow[i], T_wo_gt)
+        assert abs(e_single - e_batched) < 2e-3, (e_single, e_batched)
+
+
+def test_pose_known_keeps_se3_fixed(world):
+    params, spec, cat, proj = world
+    code_gt, T_wo_gt, obs, _ = _fruit(world, 31, [0.1, 0.2, 0.3], 1.0)
+    T_ow0 = np.linalg.inv(T_wo_gt).astype(np.float32)
+    res = shape_pose_joint_opt(
+        params, spec, CFG, obs, jnp.zeros(spec.code_length), jnp.asarray(T_ow0),
+        CUBE_RADIUS, pose_known=True,
+    )
+    T_est = np.asarray(res.T_ow)
+    # rotation+translation unchanged up to the (free) scale factor
+    s0 = np.linalg.det(T_ow0[:3, :3]) ** (1 / 3)
+    s1 = np.linalg.det(T_est[:3, :3]) ** (1 / 3)
+    np.testing.assert_allclose(T_est[:3, :3] / s1, T_ow0[:3, :3] / s0, atol=1e-4)
+
+
+def test_shape_opt_deepsdf_fits_points(world):
+    params, spec, cat, proj = world
+    rng = np.random.default_rng(7)
+    code_gt = (rng.normal(size=spec.code_length) * 0.4).astype(np.float32)
+    radii = np.asarray(ellipsoid_radii(jnp.asarray(code_gt), jnp.asarray(proj), cat.base_radius))
+    dirs = rng.normal(size=(300, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    pts_o = (dirs * radii).astype(np.float32)
+
+    latent, iters = shape_opt_deepsdf(
+        params, spec, CFG, jnp.asarray(pts_o), jnp.ones(300, bool),
+        jnp.zeros(spec.code_length),
+    )
+    assert int(iters) > 1
+    from hortimapping_tpu.models.decoder import decoder_sdf
+
+    sdf = np.asarray(decoder_sdf(params, spec, latent, jnp.asarray(pts_o)))
+    assert np.abs(sdf).mean() < 0.005, f"fit residual {np.abs(sdf).mean()*1000:.1f} mm"

@@ -1,0 +1,169 @@
+"""Native kernels (marching tetrahedra, DBSCAN, NN) + mesher + PLY I/O."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from hortimapping_tpu import native
+from hortimapping_tpu.data.mesh import PointCloud, TriangleMesh
+from hortimapping_tpu.data import ply
+from hortimapping_tpu.ops.mesher import MeshExtractor, create_voxel_grid
+
+
+def _sphere_grid(dim=48, radius=0.6):
+    """SDF of a sphere on the [-1, 1]^3 grid in index coordinates."""
+    lin = np.linspace(-1, 1, dim)
+    x, y, z = np.meshgrid(lin, lin, lin, indexing="ij")
+    return (np.sqrt(x * x + y * y + z * z) - radius).astype(np.float32)
+
+
+def test_native_available():
+    assert native.have_native(), "C++ kernel build failed (toolchain expected in image)"
+
+
+@pytest.mark.parametrize("impl", ["native", "numpy"])
+def test_marching_tetrahedra_sphere(impl):
+    dim, radius = 48, 0.6
+    grid = _sphere_grid(dim, radius)
+    spacing = 2.0 / (dim - 1)
+    if impl == "native":
+        verts, faces = native.marching_tetrahedra(grid, 0.0, spacing)
+    else:
+        verts, faces = native._marching_tetrahedra_numpy(grid, 0.0, spacing)
+    assert verts.shape[0] > 500 and faces.shape[0] > 500
+    # vertices lie on the sphere: ||v - center|| == radius (sub-voxel accuracy)
+    center = np.array([1.0, 1.0, 1.0])
+    r = np.linalg.norm(verts - center, axis=1)
+    assert np.abs(r - radius).max() < spacing
+    assert np.abs(r - radius).mean() < 0.2 * spacing
+    # watertight: every edge shared by exactly two faces
+    edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+    edges = np.sort(edges, axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).all()
+    # no degenerate face indices
+    assert (faces[:, 0] != faces[:, 1]).all()
+    assert (faces[:, 1] != faces[:, 2]).all()
+
+
+def test_marching_tetrahedra_native_numpy_agree():
+    grid = _sphere_grid(14, 0.55)
+    v1, f1 = native.marching_tetrahedra(grid, 0.0, 1.0)
+    v2, f2 = native._marching_tetrahedra_numpy(grid, 0.0, 1.0)
+    assert v1.shape == v2.shape and f1.shape == f2.shape
+    # same welded vertex sets (ordering may differ) — compare sorted
+    np.testing.assert_allclose(
+        np.sort(v1.round(5), axis=0), np.sort(v2.round(5), axis=0), atol=1e-4
+    )
+
+
+def test_dbscan_two_clusters():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(200, 3)) * 0.01
+    b = rng.normal(size=(100, 3)) * 0.01 + np.array([1.0, 0, 0])
+    noise = np.array([[0.5, 0.5, 0.5], [-0.7, 0.2, 0.9]])
+    pts = np.concatenate([a, b, noise])
+    for impl in (native.dbscan, native._dbscan_scipy):
+        labels = impl(pts, eps=0.05, min_points=5)
+        la, lb = labels[:200], labels[200:300]
+        assert len(set(la.tolist())) == 1 and la[0] >= 0
+        assert len(set(lb.tolist())) == 1 and lb[0] >= 0
+        assert la[0] != lb[0]
+        assert (labels[300:] == -1).all()
+
+
+def test_nn_distances():
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(50, 3)).astype(np.float32)
+    b = rng.normal(size=(80, 3)).astype(np.float32)
+    got = native.nn_distances(a, b)
+    brute = np.sqrt(((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)).min(1)
+    np.testing.assert_allclose(got, brute, atol=1e-5)
+
+
+def test_create_voxel_grid_matches_reference_layout():
+    """Ordering parity with `utils.py:542-562`: z fastest, x slowest."""
+    d = 5
+    grid = create_voxel_grid(d)
+    vs = 2.0 / (d - 1)
+    # first entries scan z
+    np.testing.assert_allclose(grid[0], [-1, -1, -1], atol=0)
+    np.testing.assert_allclose(grid[1], [-1, -1, -1 + vs], atol=1e-6)
+    np.testing.assert_allclose(grid[d], [-1, -1 + vs, -1], atol=1e-6)
+    np.testing.assert_allclose(grid[d * d], [-1 + vs, -1, -1], atol=1e-6)
+    np.testing.assert_allclose(grid[-1], [1, 1, 1], atol=1e-6)
+
+
+def test_mesh_extractor_sphere_decoder(small_spec):
+    """A decoder that is an exact sphere SDF -> mesh must be that sphere."""
+    import jax.numpy as jnp
+
+    from hortimapping_tpu.models.decoder import DecoderSpec
+
+    class FakeSphere:
+        pass
+
+    # Use the real extractor machinery but monkeypatch decode to analytic SDF:
+    # decode radius comes from the latent's first element.
+    ext = MeshExtractor.__new__(MeshExtractor)
+    ext.voxels_dim = 40
+    ext.cube_radius = 0.08
+    ext.voxel_points = jnp.asarray(create_voxel_grid(40)) * 0.08
+    radius = 0.05
+    ext._decode_grid = lambda latent: jnp.linalg.norm(ext.voxel_points, axis=-1) - radius
+    mesh = ext.extract_mesh_from_code(jnp.zeros(4))
+    r = np.linalg.norm(mesh.vertices, axis=1)
+    assert np.abs(r - radius).max() < 0.08 * 2.0 / 39  # one voxel
+    # transform path
+    T = np.eye(4)
+    T[:3, 3] = [1.0, 2.0, 3.0]
+    mesh_t = ext.complete_mesh(jnp.zeros(4), T, color=[0.2, 0.4, 0.6])
+    r2 = np.linalg.norm(mesh_t.vertices - np.array([1.0, 2.0, 3.0]), axis=1)
+    np.testing.assert_allclose(np.sort(r2), np.sort(r), atol=1e-5)
+    assert mesh_t.vertex_colors is not None
+
+
+def test_mesh_sampling_and_containers():
+    # unit right triangle in z=0 plane
+    mesh = TriangleMesh(
+        vertices=np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32),
+        faces=np.array([[0, 1, 2]], np.int32),
+    )
+    np.testing.assert_allclose(mesh.surface_area(), 0.5, atol=1e-6)
+    pcd = mesh.sample_points_uniformly(2000, seed=0)
+    assert len(pcd) == 2000
+    p = pcd.points
+    assert (p[:, 2] == 0).all()
+    assert (p[:, 0] >= -1e-6).all() and (p[:, 1] >= -1e-6).all()
+    assert ((p[:, 0] + p[:, 1]) <= 1 + 1e-5).all()
+    # uniformity: mean should approach the centroid (1/3, 1/3, 0)
+    np.testing.assert_allclose(p.mean(0), [1 / 3, 1 / 3, 0], atol=0.02)
+
+    # voxel downsample
+    pts = np.array([[0.0, 0, 0], [0.001, 0, 0], [1.0, 1.0, 1.0]], np.float32)
+    down = PointCloud(pts).voxel_down_sample(0.01)
+    assert len(down) == 2
+
+
+def test_ply_roundtrip():
+    mesh = TriangleMesh(
+        vertices=np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32),
+        faces=np.array([[0, 1, 2], [0, 2, 3]], np.int32),
+        vertex_colors=np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0]], float),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        for binary in (True, False):
+            path = os.path.join(d, f"m_{binary}.ply")
+            ply.write_mesh(path, mesh, binary=binary)
+            got = ply.read_mesh(path)
+            np.testing.assert_allclose(got.vertices, mesh.vertices, atol=1e-6)
+            np.testing.assert_array_equal(got.faces, mesh.faces)
+            np.testing.assert_allclose(got.vertex_colors, mesh.vertex_colors, atol=1 / 255)
+        # point cloud without faces
+        pcd = PointCloud(np.random.default_rng(0).normal(size=(10, 3)).astype(np.float32))
+        path = os.path.join(d, "p.ply")
+        ply.write_point_cloud(path, pcd)
+        got_p = ply.read_point_cloud(path)
+        np.testing.assert_allclose(got_p.points, pcd.points, atol=1e-6)
