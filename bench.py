@@ -1,0 +1,106 @@
+"""Headline benchmark: batched per-fruit completion latency on one TPU chip.
+
+Workload mirrors the reference's wild-pepper configuration
+(`/root/reference/configs/wild_pepper.yaml`: 10 frames x 400 rays x 30 ray
+samples + 2000 surface points per LM iteration, Sim(3) pose, max 50 iters)
+on the flagship synthetic_pepper_32 decoder (the reference sweet-pepper
+architecture: 32-d latent, 8x512 MLP). A whole submap's worth of fruits runs
+as ONE vmapped fused-LM program — the reference completes fruits one at a
+time in a Python loop at ~0.6 s each (`/root/reference/README.md:23`).
+
+Prints one JSON line:
+  {"metric": "per_fruit_latency", "value": <ms>, "unit": "ms",
+   "vs_baseline": <reference_seconds / measured_seconds>}
+(vs_baseline > 1 means faster than the published reference number.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_PER_FRUIT_S = 0.6  # /root/reference/README.md:23
+N_FRUITS = 16
+ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets")
+
+
+def build_batch(spec, cfg, n_fruits: int):
+    import jax
+    import jax.numpy as jnp
+
+    from hortimapping_tpu.tools.synthetic import SyntheticCategory, make_scene
+
+    cat = SyntheticCategory(spec=spec, base_radius=0.06)
+    rng = np.random.default_rng(42)
+    obs_list, lat_list, T_list = [], [], []
+    for b in range(n_fruits):
+        code = (rng.normal(size=spec.code_length) * 0.3).astype(np.float32)
+        T_wo = np.eye(4, dtype=np.float32)
+        T_wo[:3, 3] = rng.normal(size=3) * 0.1
+        obs, _ = make_scene(
+            cat, code, T_wo, n_frames=cfg.n_frame, n_fg=cfg.n_fg_pix,
+            n_bg=cfg.n_bg_pix, n_points=cfg.recon_n_pts, seed=b,
+        )
+        obs_list.append(obs)
+        lat_list.append(np.zeros(spec.code_length, np.float32))
+        T_list.append(np.linalg.inv(T_wo).astype(np.float32))
+    obs = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *obs_list)
+    return obs, jnp.stack(lat_list), jnp.stack(T_list)
+
+
+def main():
+    import jax
+
+    from hortimapping_tpu.config import JointOptConfig
+    from hortimapping_tpu.models.workspace import config_decoder
+    from hortimapping_tpu.ops.mesher import MeshExtractor
+    from hortimapping_tpu.optim.lm import shape_pose_joint_opt_batched
+
+    params, spec = config_decoder(os.path.join(ASSETS, "synthetic_pepper_32"))
+    # wild_pepper.yaml workload shapes (configs/wild_pepper.yaml:30-49)
+    cfg = JointOptConfig(
+        scale_on=True, n_fg_pix=200, n_bg_pix=200, n_frame=10,
+        n_sample_on_ray=30, recon_n_pts=2000, max_iter=50,
+    )
+    cube_radius = 0.08  # object_radius_max_m, wild_pepper.yaml
+    mc_res_mm = 4.0
+    voxels_dim = int(2 * cube_radius * 1e3 / mc_res_mm)  # = 40
+
+    obs, lat0, T0 = build_batch(spec, cfg, N_FRUITS)
+    mesher = MeshExtractor(params, spec, voxels_dim=voxels_dim, cube_radius=cube_radius)
+
+    def run():
+        res = shape_pose_joint_opt_batched(
+            params, spec, cfg, obs, lat0, T0, cube_radius
+        )
+        jax.block_until_ready(res)
+        meshes = mesher.complete_mesh_batch(
+            res.latent, [np.linalg.inv(np.asarray(T)) for T in res.T_ow]
+        )
+        return res, meshes
+
+    run()  # warmup: compile + first meshing
+    n_rep = 5
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        res, meshes = run()
+    dt = (time.perf_counter() - t0) / n_rep
+
+    per_fruit_s = dt / N_FRUITS
+    print(
+        json.dumps(
+            {
+                "metric": "per_fruit_latency",
+                "value": round(per_fruit_s * 1e3, 3),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_PER_FRUIT_S / per_fruit_s, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

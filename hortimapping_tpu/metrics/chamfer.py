@@ -1,0 +1,85 @@
+"""Chamfer distance (reference: `/root/reference/metrics_3d/chamfer_distance.py`).
+
+The reference's NN distances come from Open3D's C++ KD-tree
+(`compute_point_cloud_distance`, `chamfer_distance.py:23-24`). Here nearest-
+neighbor distance has two engines:
+
+  * `nn_distances_tpu` — tiled brute-force pairwise-min on device. Distance
+    evaluation is one big `|a|^2 + |b|^2 - 2 a.b` matmul per tile, so the
+    MXU does the heavy lifting; `lax.map` over query tiles bounds memory at
+    `tile * M`. Exact (not approximate), preferred up to ~10^10 pairs.
+  * host KD-tree / native C++ fallback (`native.nn_distances`) for the
+    1 M x 1 M mesh-vs-mesh case where brute force stops making sense.
+
+`ChamferDistance.update/compute/reset` keep the reference's aggregate
+semantics exactly: per-instance symmetric mean ((mean(d_gt->pt) +
+mean(d_pt->gt)) / 2, `chamfer_distance.py:22-26`), empty predictions score
+0 (`chamfer_distance.py:17-19`), `compute` = mean over instances.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hortimapping_tpu import native
+from hortimapping_tpu.metrics.metric import Metrics3D
+
+# above this many pairwise distances, the host KD-tree wins over on-device
+# brute force (flops ~ 8 * pairs; 1e10 pairs ~ 1e11 flops ~ <1 s on TPU)
+_BRUTE_FORCE_MAX_PAIRS = int(1e10)
+_TILE = 4096
+
+
+@partial(jax.jit, static_argnames=("tile",))
+def _nn_min_dists(a: jnp.ndarray, b: jnp.ndarray, tile: int = _TILE) -> jnp.ndarray:
+    """min_j ||a_i - b_j|| for every i; a is padded to a tile multiple."""
+    n = a.shape[0]
+    pad = (-n) % tile
+    a_p = jnp.pad(a, ((0, pad), (0, 0)))
+    b_sq = jnp.sum(b * b, axis=1)
+
+    def one_tile(at):
+        d2 = jnp.sum(at * at, axis=1)[:, None] + b_sq[None, :] - 2.0 * (at @ b.T)
+        return jnp.min(jnp.maximum(d2, 0.0), axis=1)
+
+    d2 = jax.lax.map(one_tile, a_p.reshape(-1, tile, 3)).reshape(-1)
+    return jnp.sqrt(d2[:n])
+
+
+def nn_distances_tpu(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """For each point of `a`, distance to the nearest point of `b` (device)."""
+    a = jnp.asarray(np.asarray(a, np.float32))
+    b = jnp.asarray(np.asarray(b, np.float32))
+    return np.asarray(_nn_min_dists(a, b))
+
+
+def nn_distances(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Engine-selecting NN distances (device brute force vs host KD-tree)."""
+    if a.shape[0] * b.shape[0] <= _BRUTE_FORCE_MAX_PAIRS:
+        return nn_distances_tpu(a, b)
+    return native.nn_distances(np.asarray(a, np.float32), np.asarray(b, np.float32))
+
+
+class ChamferDistance(Metrics3D):
+    def __init__(self):
+        self.cd_array = []
+
+    def update(self, gt, pt) -> None:
+        if self.prediction_is_empty(pt):
+            self.cd_array.append(0)
+            return
+        gt_pts = self.convert_to_points(gt)
+        pt_pts = self.convert_to_points(pt)
+        d_pt_2_gt = nn_distances(pt_pts, gt_pts)
+        d_gt_2_pt = nn_distances(gt_pts, pt_pts)
+        self.cd_array.append((np.mean(d_gt_2_pt) + np.mean(d_pt_2_gt)) / 2)
+
+    def reset(self) -> None:
+        self.cd_array = []
+
+    def compute(self) -> float:
+        return sum(self.cd_array) / len(self.cd_array)

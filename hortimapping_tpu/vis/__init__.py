@@ -1,0 +1,8 @@
+from hortimapping_tpu.vis.opt_visualizer import (
+    OptVisualizer,
+    StubVisualizer,
+    color_table,
+    make_visualizer,
+)
+
+__all__ = ["OptVisualizer", "StubVisualizer", "color_table", "make_visualizer"]

@@ -1,0 +1,279 @@
+"""Optional interactive optimization visualizer.
+
+Reference: `/root/reference/wild_completion/opt_visualizer.py` — an Open3D
+`VisualizerWithKeyCallback` window showing the input scan, GT scan, evolving
+completed mesh, pose frame, and an iteration counter, with SPACE/N/V/M/F/G/
+C/Q key bindings (`opt_visualizer.py:243-251`).
+
+Visualization is explicitly host-side and optional in this framework
+(`vis_on: false` is the first-class performance path — the published 0.6 s
+reference number itself is measured without vis, SURVEY §3.5). When Open3D
+is unavailable the same interface is served by `StubVisualizer`, which is a
+no-op, so every driver can call vis methods unconditionally.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+import numpy as np
+
+# 10 instance colors (reference `color_table`, opt_visualizer.py:21-31)
+color_table = [
+    [230.0 / 255.0, 0.0, 0.0],          # red
+    [60.0 / 255.0, 180.0 / 255.0, 75.0 / 255.0],   # green
+    [0.0, 0.0, 255.0 / 255.0],          # blue
+    [255.0 / 255.0, 0, 255.0 / 255.0],  # magenta
+    [255.0 / 255.0, 165.0 / 255.0, 0.0],# orange
+    [128.0 / 255.0, 0, 128.0 / 255.0],  # purple
+    [0.0, 255.0 / 255.0, 255.0 / 255.0],# cyan
+    [210.0 / 255.0, 245.0 / 255.0, 60.0 / 255.0],  # lime
+    [250.0 / 255.0, 190.0 / 255.0, 190.0 / 255.0], # pink
+    [0.0, 128.0 / 255.0, 128.0 / 255.0],# teal
+]
+
+
+def _have_open3d() -> bool:
+    try:
+        import open3d  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class StubVisualizer:
+    """No-op visualizer with the full driver-facing interface
+    (reference `StubVisualizer`, `opt_visualizer.py:77-83`)."""
+
+    def __init__(self, frame_axis_len: float = 0.1, pause_time_s: float = 1e-2):
+        self.frame_axis_len = frame_axis_len
+        self.pause_time_s = pause_time_s
+        self.skip_flag = False
+
+    def update(self, scan, pose, mesh=None) -> None:
+        pass
+
+    def update_mesh(self, mesh) -> None:
+        pass
+
+    def update_mesh_pose(self, cano_mesh, transform, iteration: int) -> None:
+        pass
+
+    def add_scan(self, scan) -> None:
+        pass
+
+    def add_gt_scan(self, gt_scan) -> None:
+        pass
+
+    def update_view(self) -> None:
+        pass
+
+    def pause_view(self) -> None:
+        pass
+
+    def clean_vis(self) -> None:
+        pass
+
+    def stop(self) -> bool:
+        """Blocks until keypress in the real visualizer; returns the skip
+        flag (`opt_visualizer.py:211-220`)."""
+        return self.skip_flag
+
+    def destroy_window(self) -> None:
+        pass
+
+
+class OptVisualizer(StubVisualizer):
+    """Open3D-backed interactive visualizer. Import-guarded: constructing it
+    without open3d raises with a clear message; use `make_visualizer` to
+    fall back to the stub automatically."""
+
+    def __init__(self, frame_axis_len: float = 0.1, pause_time_s: float = 1e-2):
+        super().__init__(frame_axis_len, pause_time_s)
+        if not _have_open3d():
+            raise ImportError(
+                "open3d is required for OptVisualizer; set vis_on: false or "
+                "install open3d (StubVisualizer keeps the pipeline fully "
+                "functional without it)"
+            )
+        import open3d as o3d
+
+        self._o3d = o3d
+        self.block_vis = True
+        self.play_crun = False
+        self.reset_bounding_box = True
+        self.scan = o3d.geometry.PointCloud()
+        self.gt_scan = o3d.geometry.PointCloud()
+        self.mesh = o3d.geometry.TriangleMesh()
+        self.frame = o3d.geometry.TriangleMesh()
+        self.vis = o3d.visualization.VisualizerWithKeyCallback()
+        self._register_key_callbacks()
+        self.vis.create_window()
+        self.vis.get_render_option().light_on = True
+        self.vis.get_render_option().mesh_show_back_face = True
+
+    # -- geometry updates ---------------------------------------------------
+
+    def _to_o3d_pcd(self, scan):
+        o3d = self._o3d
+        if isinstance(scan, o3d.geometry.PointCloud):
+            return scan
+        pcd = o3d.geometry.PointCloud()
+        pcd.points = o3d.utility.Vector3dVector(np.asarray(scan.points, np.float64))
+        if getattr(scan, "colors", None) is not None:
+            pcd.colors = o3d.utility.Vector3dVector(np.asarray(scan.colors, np.float64))
+        return pcd
+
+    def _to_o3d_mesh(self, mesh):
+        o3d = self._o3d
+        if isinstance(mesh, o3d.geometry.TriangleMesh):
+            return mesh
+        m = o3d.geometry.TriangleMesh(
+            o3d.utility.Vector3dVector(np.asarray(mesh.vertices, np.float64)),
+            o3d.utility.Vector3iVector(np.asarray(mesh.faces, np.int32)),
+        )
+        if getattr(mesh, "vertex_colors", None) is not None:
+            m.vertex_colors = o3d.utility.Vector3dVector(np.asarray(mesh.vertex_colors))
+        m.compute_vertex_normals()
+        return m
+
+    def add_scan(self, scan) -> None:
+        pcd = self._to_o3d_pcd(scan)
+        self.scan.points = pcd.points
+        self.scan.colors = pcd.colors
+        self.vis.add_geometry(self.scan, self.reset_bounding_box)
+        self.update_view()
+
+    def add_gt_scan(self, gt_scan) -> None:
+        pcd = self._to_o3d_pcd(gt_scan)
+        self.gt_scan.points = pcd.points
+        self.gt_scan.colors = pcd.colors
+        self.vis.add_geometry(self.gt_scan, self.reset_bounding_box)
+        self.update_view()
+
+    def update_mesh(self, mesh) -> None:
+        m = self._to_o3d_mesh(mesh)
+        self.mesh.vertices = m.vertices
+        self.mesh.triangles = m.triangles
+        self.mesh.vertex_colors = m.vertex_colors
+        self.mesh.compute_vertex_normals()
+        self.vis.update_geometry(self.mesh)
+        self.update_view()
+
+    def update_mesh_pose(self, cano_mesh, transform, iteration: int) -> None:
+        """Show the completed mesh posed by `transform` plus a pose frame
+        (reference `update_mesh_pose`, `opt_visualizer.py:155-165`)."""
+        o3d = self._o3d
+        m = self._to_o3d_mesh(cano_mesh)
+        posed = o3d.geometry.TriangleMesh(m).transform(np.asarray(transform, np.float64))
+        self.mesh.vertices = posed.vertices
+        self.mesh.triangles = posed.triangles
+        self.mesh.vertex_colors = posed.vertex_colors
+        self.mesh.compute_vertex_normals()
+        frame = o3d.geometry.TriangleMesh.create_coordinate_frame(self.frame_axis_len)
+        frame.transform(np.asarray(transform, np.float64))
+        self.frame.vertices = frame.vertices
+        self.frame.triangles = frame.triangles
+        self.frame.vertex_colors = frame.vertex_colors
+        if iteration == 0:
+            self.vis.add_geometry(self.mesh, self.reset_bounding_box)
+            self.vis.add_geometry(self.frame, False)
+        else:
+            self.vis.update_geometry(self.mesh)
+            self.vis.update_geometry(self.frame)
+        self.update_view()
+        self.pause_view()
+
+    # -- window control -----------------------------------------------------
+
+    def update_view(self) -> None:
+        self.vis.poll_events()
+        self.vis.update_renderer()
+
+    def pause_view(self) -> None:
+        import time
+
+        time.sleep(self.pause_time_s)
+
+    def clean_vis(self) -> None:
+        self.vis.clear_geometries()
+        self.scan = self._o3d.geometry.PointCloud()
+        self.gt_scan = self._o3d.geometry.PointCloud()
+        self.mesh = self._o3d.geometry.TriangleMesh()
+        self.frame = self._o3d.geometry.TriangleMesh()
+        self.reset_bounding_box = True
+
+    def stop(self) -> bool:
+        """Block until SPACE/N/S, return (and clear) the skip flag
+        (`opt_visualizer.py:211-220`)."""
+        self.block_vis = True
+        while self.block_vis:
+            self.update_view()
+        skip = self.skip_flag
+        self.skip_flag = False
+        return skip
+
+    def destroy_window(self) -> None:
+        self.vis.destroy_window()
+
+    # -- key bindings (opt_visualizer.py:243-251) ---------------------------
+
+    def _register_key_callback(self, keys: List[str], callback: Callable) -> None:
+        for key in keys:
+            self.vis.register_key_callback(ord(key), callback)
+
+    def _register_key_callbacks(self) -> None:
+        self._register_key_callback([" "], self._start_stop)
+        self._register_key_callback(["N"], self._next_frame)
+        self._register_key_callback(["S"], self._skip)
+        self._register_key_callback(["V"], self._toggle_frame)
+        self._register_key_callback(["M"], self._toggle_mesh)
+        self._register_key_callback(["G"], self._toggle_gt)
+        self._register_key_callback(["Q"], self._quit)
+
+    def _start_stop(self, vis) -> None:
+        self.play_crun = not self.play_crun
+        self.block_vis = False
+
+    def _next_frame(self, vis) -> None:
+        self.block_vis = False
+
+    def _skip(self, vis) -> None:
+        self.skip_flag = True
+        self.block_vis = False
+
+    def _toggle_frame(self, vis) -> None:
+        if self.frame in (g for g in ()):
+            return
+        # toggling by re-adding/removing the frame geometry
+        try:
+            vis.remove_geometry(self.frame, False)
+        except Exception:
+            vis.add_geometry(self.frame, False)
+
+    def _toggle_mesh(self, vis) -> None:
+        try:
+            vis.remove_geometry(self.mesh, False)
+        except Exception:
+            vis.add_geometry(self.mesh, False)
+
+    def _toggle_gt(self, vis) -> None:
+        try:
+            vis.remove_geometry(self.gt_scan, False)
+        except Exception:
+            vis.add_geometry(self.gt_scan, False)
+
+    def _quit(self, vis) -> None:
+        import sys
+
+        vis.destroy_window()
+        sys.exit(0)
+
+
+def make_visualizer(vis_on: bool, frame_axis_len: float = 0.1,
+                    pause_time_s: float = 1e-2) -> StubVisualizer:
+    """`vis_on and open3d available` -> OptVisualizer, else StubVisualizer."""
+    if vis_on and _have_open3d():
+        return OptVisualizer(frame_axis_len, pause_time_s)
+    return StubVisualizer(frame_axis_len, pause_time_s)

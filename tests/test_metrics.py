@@ -1,0 +1,90 @@
+"""Chamfer / precision-recall parity vs scipy-KD-tree ground truth."""
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+from hortimapping_tpu.data.mesh import PointCloud, TriangleMesh
+from hortimapping_tpu.metrics import ChamferDistance, PrecisionRecall, nn_distances_tpu
+
+
+def _ref_nn(a, b):
+    return cKDTree(b).query(a, k=1)[0]
+
+
+def test_nn_distances_tpu_exact(rng):
+    a = rng.normal(size=(777, 3)).astype(np.float32)
+    b = rng.normal(size=(1234, 3)).astype(np.float32)
+    got = nn_distances_tpu(a, b)
+    want = _ref_nn(a, b)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+
+def test_chamfer_matches_reference_formula(rng):
+    cd = ChamferDistance()
+    insts = []
+    for i in range(3):
+        gt = rng.normal(size=(500, 3)) * 0.05
+        pt = gt + rng.normal(size=gt.shape) * 0.002
+        cd.update(gt, pt)
+        d = (np.mean(_ref_nn(gt, pt)) + np.mean(_ref_nn(pt, gt))) / 2
+        insts.append(d)
+    assert abs(cd.compute() - np.mean(insts)) < 1e-5
+
+
+def test_chamfer_empty_prediction_scores_zero():
+    cd = ChamferDistance()
+    cd.update(np.zeros((10, 3)), np.zeros((0, 3)))
+    assert cd.compute() == 0
+
+
+def test_chamfer_identical_clouds_zero(rng):
+    pts = rng.normal(size=(300, 3))
+    cd = ChamferDistance()
+    cd.update(pts, pts.copy())
+    assert cd.compute() < 1e-6
+
+
+def test_precision_recall_perfect(rng):
+    pts = rng.normal(size=(400, 3)) * 0.05
+    pr = PrecisionRecall(0.001, 0.01, 100)  # 1-10 mm, ref usage
+    pr.update(pts, pts.copy())
+    p, r, f1, t = pr.compute_at_threshold(0.005)
+    assert p == 100.0 and r == 100.0 and f1 == 100.0
+    assert abs(t - pr.find_nearest_threshold(0.005)) < 1e-12
+    # reference AUC normalizes the percentage curve by a ones-curve
+    # (`precision_recall.py:68-88`), so a perfect predictor scores ~100
+    auc = pr.compute_auc()
+    assert all(abs(x - 100.0) < 1e-6 for x in auc)
+
+
+def test_precision_recall_offset(rng):
+    # prediction displaced by exactly 6 mm -> 0% below 6 mm, 100% above.
+    # grid spacing 2 cm >> 6 mm so each point's NN is its displaced copy
+    g = np.arange(6) * 0.02
+    gt = np.stack(np.meshgrid(g, g, g), -1).reshape(-1, 3)
+    pt = gt + np.array([0.006, 0.0, 0.0])
+    pr = PrecisionRecall(0.001, 0.01, 10)
+    pr.update(gt, pt)
+    p5, r5, f5, _ = pr.compute_at_threshold(0.005)
+    assert p5 == 0.0 and r5 == 0.0 and f5 == 0.0
+    p7, r7, f7, _ = pr.compute_at_threshold(0.007)
+    assert p7 == 100.0 and r7 == 100.0 and f7 == 100.0
+
+
+def test_precision_recall_empty_prediction():
+    pr = PrecisionRecall(0.001, 0.01, 10)
+    pr.update(np.zeros((10, 3)), np.zeros((0, 3)))
+    p, r, f1, _ = pr.compute_at_threshold(0.005)
+    assert p == 0.0 and r == 0.0 and f1 == 0.0
+
+
+def test_mesh_and_pointcloud_coercion(rng):
+    # unit right triangle mesh: sampled points stay on the triangle plane
+    mesh = TriangleMesh(
+        np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32),
+        np.array([[0, 1, 2]], np.int32),
+    )
+    cd = ChamferDistance()
+    pcd = PointCloud(mesh.sample_points_uniformly(5000, seed=1).points)
+    cd.update(mesh, pcd)
+    assert cd.compute() < 0.02
