@@ -117,6 +117,16 @@ def train_synthetic_decoder(
     return params, np.asarray(proj)
 
 
+def _ellipsoid_sdf_np(x: np.ndarray, radii: np.ndarray) -> np.ndarray:
+    """Pure-numpy twin of `ellipsoid_sdf` — scene generation is host-side
+    cold path, and per-step device dispatch over a remote TPU link costs
+    more than the whole computation."""
+    k0 = np.linalg.norm(x / radii, axis=-1)
+    k1 = np.linalg.norm(x / (radii * radii), axis=-1)
+    k1 = np.where(k1 == 0.0, 1.0, k1)
+    return np.where(k0 == 0.0, -np.min(radii), k0 * (k0 - 1.0) / k1)
+
+
 def sphere_trace(
     origin: np.ndarray,       # (3,) world
     dirs: np.ndarray,         # (N, 3) unit, world
@@ -132,11 +142,11 @@ def sphere_trace(
     for _ in range(iters):
         x_w = origin + tt[:, None] * dirs
         x_o = x_w @ R.T + t
-        d_o = np.asarray(ellipsoid_sdf(jnp.asarray(x_o), jnp.asarray(radii)))
+        d_o = _ellipsoid_sdf_np(x_o, radii)
         tt = tt + d_o / s  # convert object-frame distance to world units
     x_w = origin + tt[:, None] * dirs
     x_o = x_w @ R.T + t
-    d_final = np.abs(np.asarray(ellipsoid_sdf(jnp.asarray(x_o), jnp.asarray(radii))))
+    d_final = np.abs(_ellipsoid_sdf_np(x_o, radii))
     hit = (d_final < 1e-4 * max(1.0, 1.0 / s)) & (tt > 0) & (tt < 10.0)
     return tt, hit
 
@@ -165,7 +175,7 @@ def make_scene(
     """
     rng = np.random.default_rng(seed)
     proj = cat.projection()
-    radii = np.asarray(ellipsoid_radii(jnp.asarray(code_gt), jnp.asarray(proj), cat.base_radius))
+    radii = cat.base_radius * np.exp(proj @ np.asarray(code_gt))
     T_ow_gt = np.linalg.inv(T_wo_gt)
     center_w = T_wo_gt[:3, 3]
     R_total = n_fg + n_bg
