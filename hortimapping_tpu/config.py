@@ -71,6 +71,22 @@ class JointOptConfig:
     outlier_scale_min: float = 0.5
     outlier_scale_max: float = 1.25
     outlier_rot_max_deg: float = 60.0
+    # TPU performance knobs (see ops/render.py RenderConfig):
+    #   jac_cap: -1 = dense Jacobians, 0 = auto budget (R*M // 2), > 0 explicit
+    #   fwd_bf16: bfloat16 forward render pass
+    jac_cap: int = 0
+    fwd_bf16: bool = False
+
+    @property
+    def jac_cap_resolved(self) -> int:
+        if self.jac_cap == -1:
+            return 0  # dense
+        if self.jac_cap == 0:
+            # auto: 40% of the sample grid — measured |sdf|<cutoff band
+            # fraction is ~31% on the wild-pepper workload, so the budget
+            # covers the band with margin while cutting the decoder VJP cost
+            return (2 * self.n_rays * self.n_sample_on_ray) // 5
+        return self.jac_cap
 
     @property
     def pose_dim(self) -> int:
@@ -92,6 +108,7 @@ class JointOptConfig:
         w = opt.get("weight", {})
         cv = opt.get("converge", {})
         out = opt.get("outlier", {})
+        tpu = opt.get("tpu", {})  # extension block, absent in reference YAMLs
         d = cls()  # defaults
         return cls(
             scale_on=bool(opt.get("scale_on", d.scale_on)),
@@ -127,4 +144,6 @@ class JointOptConfig:
             outlier_scale_min=float(out.get("scale_min", d.outlier_scale_min)),
             outlier_scale_max=float(out.get("scale_max", d.outlier_scale_max)),
             outlier_rot_max_deg=float(out.get("rot_max_deg", d.outlier_rot_max_deg)),
+            jac_cap=int(tpu.get("jac_cap", d.jac_cap)),
+            fwd_bf16=bool(tpu.get("fwd_bf16", d.fwd_bf16)),
         )

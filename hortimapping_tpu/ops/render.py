@@ -28,8 +28,10 @@ each ray (the reference's per-ray scatter-add, `loss.py:188-215`).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from hortimapping_tpu.models.decoder import (
@@ -56,6 +58,21 @@ class RenderConfig:
     Field defaults mirror the reference signature defaults
     (`loss.py:8-11`); the values used in practice come from the YAML config
     (`opt.render.*`).
+
+    Performance knobs (no reference equivalent — the reference culls with
+    dynamic index sets, which is the same math):
+      jac_cap    — Jacobian pass sample budget per frame. 0 = dense (decoder
+                   VJP over the full [R, M] grid). > 0 = two-pass: forward
+                   only on the dense grid, then decoder VJP on at most
+                   `jac_cap` band samples (|sdf| < cutoff), compacted with a
+                   stable sort and scatter-reduced per ray. The reference
+                   itself takes Jacobians only on the band
+                   (`loss.py:66-68,185-186`), so any cap >= the band size is
+                   mathematically identical to dense; overflow drops the
+                   highest-index band samples.
+      fwd_bf16   — run the forward (no-grad) decoder pass in bfloat16
+                   matmuls with f32 accumulation (2x MXU rate). The Jacobian
+                   pass stays f32.
     """
 
     scale_on: bool = False          # Sim(3) (7-dof) vs SE(3) (6-dof) pose Jacobians
@@ -65,6 +82,8 @@ class RenderConfig:
     occlusion_th: float = 0.03      # [m], `loss.py:11`
     min_valid_sample: int = 100     # frame invalid below this many in-radius samples
     min_grad_th: float = 1e-6       # de/do cutoff (`loss.py:111`)
+    jac_cap: int = 0                # 0 = dense Jacobians; > 0 = compacted budget
+    fwd_bf16: bool = False          # bf16 forward pass
 
     @property
     def pose_dim(self) -> int:
@@ -105,10 +124,15 @@ def render_residuals(
     valid = (jnp.linalg.norm(pts_obj, axis=-1) < bbx_radius) & ray_valid[:, None]
     frame_ok = jnp.sum(valid) >= cfg.min_valid_sample                   # loss.py:43-45
 
-    # --- decoder forward + input gradient on the dense grid ---
-    lat = jnp.broadcast_to(latent, (R, M) + latent.shape)
-    inputs = jnp.concatenate([lat, pts_obj], axis=-1)
-    sdf, dsdf_din = decoder_sdf_and_input_grad(params, spec, inputs)    # [R,M], [R,M,C+3]
+    # --- decoder forward on the dense grid (pass 1) ---
+    fwd_dtype = jnp.bfloat16 if cfg.fwd_bf16 else jnp.float32
+    if cfg.jac_cap > 0:
+        sdf = decoder_sdf(params, spec, latent, pts_obj, fwd_dtype)     # [R, M]
+        dsdf_din = None  # Jacobians come from the compacted pass below
+    else:
+        lat = jnp.broadcast_to(latent, (R, M) + latent.shape)
+        inputs = jnp.concatenate([lat, pts_obj], axis=-1)
+        sdf, dsdf_din = decoder_sdf_and_input_grad(params, spec, inputs)  # [R,M], [R,M,C+3]
 
     if cfg.log_occ_on:
         sigma = logistic_sigma(cfg.occ_cutoff)
@@ -164,19 +188,55 @@ def render_residuals(
 
     # --- Jacobians: chain through decoder and pose, sum over surviving
     #     samples of each ray (loss.py:185-215) ---
-    ds_dcode = dsdf_din[..., : spec.code_length]                        # [R, M, C]
-    ds_dx = dsdf_din[..., spec.code_length :]                           # [R, M, 3]
-    if cfg.scale_on:
-        dx_dT = points_to_pose_jacobian_sim3(pts_obj)                   # [R, M, 3, 7]
+    if cfg.jac_cap > 0:
+        # pass 2: decoder VJP only on the |sdf|<cutoff band, compacted to a
+        # fixed budget. Stable sort puts band samples first in index order,
+        # so the per-ray scatter-sum visits them in the same order as the
+        # dense reduction.
+        K = min(cfg.jac_cap, R * M)
+        flat_mask = sample_mask.reshape(-1)
+        # fixed-size compaction: indices of band samples in ascending order,
+        # padded with R*M (out of range) when fewer than K
+        (sel,) = jnp.nonzero(flat_mask, size=K, fill_value=R * M)
+        sel_ok = (sel < R * M).astype(f32)
+        sel = jnp.minimum(sel, R * M - 1)
+        pts_sel = pts_obj.reshape(-1, 3)[sel]                           # [K, 3]
+        lat_sel = jnp.broadcast_to(latent, (K,) + latent.shape)
+        in_sel = jnp.concatenate([lat_sel, pts_sel], axis=-1)
+        _, g_sel = decoder_sdf_and_input_grad(params, spec, in_sel)     # [K, C+3]
+        ds_dcode = g_sel[:, : spec.code_length]
+        ds_dx = g_sel[:, spec.code_length :]
+        if cfg.scale_on:
+            dx_dT = points_to_pose_jacobian_sim3(pts_sel)               # [K, 3, 7]
+        else:
+            dx_dT = points_to_pose_jacobian_se3(pts_sel)                # [K, 3, 6]
+        ds_dT = jnp.einsum("kc,kcp->kp", ds_dx, dx_dT)                  # [K, pose]
+        ray_idx = sel // M
+        de_sel = de_ds.reshape(-1)[sel] * sel_ok
+        dm_sel = dm_ds.reshape(-1)[sel] * sel_ok
+        # per-ray reduction as a one-hot matmul: TPU scatter (segment_sum)
+        # serializes, while [R, K] @ [K, D] rides the MXU (~30 GFLOP here)
+        one_hot = (ray_idx[None, :] == jnp.arange(R)[:, None]).astype(f32)  # [R, K]
+        ds_all = jnp.concatenate([ds_dT, ds_dcode], axis=-1)            # [K, D]
+        jac_d_full = one_hot @ (de_sel[:, None] * ds_all)               # [R, D]
+        jac_m_full = one_hot @ (dm_sel[:, None] * ds_all)
+        P = ds_dT.shape[-1]
+        jac_d_pose, jac_d_code = jac_d_full[:, :P], jac_d_full[:, P:]
+        jac_m_pose, jac_m_code = jac_m_full[:, :P], jac_m_full[:, P:]
     else:
-        dx_dT = points_to_pose_jacobian_se3(pts_obj)                    # [R, M, 3, 6]
-    ds_dT = jnp.einsum("rmk,rmkp->rmp", ds_dx, dx_dT)                   # [R, M, pose]
+        ds_dcode = dsdf_din[..., : spec.code_length]                    # [R, M, C]
+        ds_dx = dsdf_din[..., spec.code_length :]                       # [R, M, 3]
+        if cfg.scale_on:
+            dx_dT = points_to_pose_jacobian_sim3(pts_obj)               # [R, M, 3, 7]
+        else:
+            dx_dT = points_to_pose_jacobian_se3(pts_obj)                # [R, M, 3, 6]
+        ds_dT = jnp.einsum("rmk,rmkp->rmp", ds_dx, dx_dT)               # [R, M, pose]
 
-    w = sample_mask.astype(f32)
-    jac_d_pose = jnp.einsum("rm,rmp->rp", w * de_ds, ds_dT)
-    jac_d_code = jnp.einsum("rm,rmc->rc", w * de_ds, ds_dcode)
-    jac_m_pose = jnp.einsum("rm,rmp->rp", w * dm_ds, ds_dT)
-    jac_m_code = jnp.einsum("rm,rmc->rc", w * dm_ds, ds_dcode)
+        w = sample_mask.astype(f32)
+        jac_d_pose = jnp.einsum("rm,rmp->rp", w * de_ds, ds_dT)
+        jac_d_code = jnp.einsum("rm,rmc->rc", w * de_ds, ds_dcode)
+        jac_m_pose = jnp.einsum("rm,rmp->rp", w * dm_ds, ds_dT)
+        jac_m_code = jnp.einsum("rm,rmc->rc", w * dm_ds, ds_dcode)
 
     okf = ray_ok.astype(f32)[:, None]
     jac_d = jnp.concatenate([jac_d_pose, jac_d_code], axis=-1) * okf

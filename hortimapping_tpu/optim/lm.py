@@ -45,6 +45,8 @@ def _render_config(cfg: JointOptConfig) -> RenderConfig:
         log_occ_on=cfg.log_sdf_occ,
         occ_cutoff=cfg.occ_cutoff_m,
         occlusion_on=cfg.occlusion_on,
+        jac_cap=cfg.jac_cap_resolved,
+        fwd_bf16=cfg.fwd_bf16,
     )
 
 

@@ -1,0 +1,236 @@
+"""IGG-fruit lab evaluation (RealSense RGB-D + laser-scanned ground truth).
+
+Reference: `/root/reference/eval_lab_single_frame.py` and
+`eval_lab_multi_frames.py`. Per fruit directory:
+    realsense/{color,depth,masks}/<frame>.{png,npy,png}
+    realsense/intrinsic.json      (column-major K, depth_scale, height, width)
+    realsense/scene/integrated.ply (multi-frame map)
+    tf/tf_allposes.npz            (per-frame camera poses)
+    tf/bounding_box.npz           (multi-frame crop box)
+    laser/fruit.ply               (ground-truth cloud)
+
+single-frame mode: one optimization per sampled frame — the masked depth
+back-projection is the surface cloud, one frame feeds the render term, and
+the GT cloud is moved into the frame's world via T_wg
+(`eval_lab_single_frame.py:181-183,219-220`).
+multi-frame mode: the integrated map (cropped by the fruit box) is the
+surface cloud and all sampled frames feed one render_data; one optimization
+per fruit (`eval_lab_multi_frames.py:101-239`).
+
+TPU-native: every optimization instance (fruit x frame in single mode,
+fruit in multi mode) becomes one lane of a single batched fused-LM solve.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List
+
+import numpy as np
+
+from hortimapping_tpu.config import JointOptConfig
+from hortimapping_tpu.data.mesh import PointCloud
+from hortimapping_tpu.data.ply import read_point_cloud
+from hortimapping_tpu.data.preprocess import clean_pcd
+from hortimapping_tpu.data.rays import get_render_data, render_data_to_observations, stack_observations
+from hortimapping_tpu.data.rgbd import backproject
+from hortimapping_tpu.metrics import ChamferDistance, PrecisionRecall
+from hortimapping_tpu.models.workspace import config_decoder, load_latent_vectors
+from hortimapping_tpu.ops.mesher import MeshExtractor
+from hortimapping_tpu.optim.lm import shape_opt_deepsdf, shape_pose_joint_opt_batched
+from hortimapping_tpu.utils.misc import get_time, set_random_seed, wandb_log_summary
+
+# fixed camera extrinsic of the single-frame setup (`eval_lab_single_frame.py:141`)
+T_CW_SINGLE = np.array(
+    [[1, 0, 0, 0], [0, 0, -1, 0], [0, 1, 0, 0], [0, 0, 0, 1]], np.float64
+)
+
+
+def _load_intrinsics(rgbd_base: str):
+    with open(os.path.join(rgbd_base, "intrinsic.json")) as f:
+        cam = json.load(f)
+    K = np.array(cam["intrinsic_matrix"]).reshape(3, 3).T  # column-major
+    return K, [cam["height"], cam["width"]], cam["depth_scale"]
+
+
+def _read_frame(rgbd_base: str, mask_file: str, depth_scale: float):
+    import cv2
+
+    rgb = cv2.cvtColor(
+        cv2.imread(os.path.join(rgbd_base, "color", mask_file)), cv2.COLOR_BGR2RGB
+    )
+    depth_raw = np.load(os.path.join(rgbd_base, "depth", mask_file.replace("png", "npy")))
+    depth_m = depth_raw / depth_scale
+    mask = cv2.imread(os.path.join(rgbd_base, "masks", mask_file), cv2.IMREAD_GRAYSCALE) / 255
+    return rgb, depth_raw, depth_m, mask
+
+
+def run_lab_eval(cfg: Dict, multi_frame: bool, log=print) -> Dict:
+    import jax
+    import jax.numpy as jnp
+
+    set_random_seed(42)
+    opt_cfg = JointOptConfig.from_dict(cfg)
+    params, spec = config_decoder(cfg["deepsdf_dir"], "latest")
+    latents_train = load_latent_vectors(cfg["deepsdf_dir"], "latest")
+    init_latent = np.asarray(jnp.mean(latents_train, axis=0))
+
+    object_radius_max_m = float(cfg["vis"]["object_radius_max_m"])
+    mc_res_mm = float(cfg["vis"]["mc_res_mm"])
+    voxels_dim = int(2 * object_radius_max_m * 1e3 / mc_res_mm)
+    deepsdf_baseline = cfg.get("baseline_name") == "DeepSDF"
+    frame_per_fruit = int(cfg.get("frame_per_fruit", 10))
+
+    with open(cfg["split"]) as f:
+        test_split: List[str] = json.load(f)["test"]
+    if cfg.get("fruit_id", "none") != "none":
+        test_split = [cfg["fruit_id"]]
+
+    rng = np.random.default_rng(42)
+    prepared = []  # (label, obs, gt_points_in_eval_frame, gt_count)
+    for fruit_id in test_split:
+        input_base = os.path.join(cfg["data_dir"], fruit_id)
+        rgbd_base = os.path.join(input_base, "realsense")
+        tfs = np.load(os.path.join(input_base, "tf", "tf_allposes.npz"),
+                      allow_pickle=True)["arr_0"]
+        mask_files = sorted(os.listdir(os.path.join(rgbd_base, "masks")))
+        sample_idx = np.linspace(
+            0, len(mask_files) - 1, min(len(mask_files), frame_per_fruit)
+        ).astype(np.int32)
+        gt_pcd = read_point_cloud(os.path.join(input_base, "laser", "fruit.ply"))
+        K, img_size, depth_scale = _load_intrinsics(rgbd_base)
+        invK = np.linalg.inv(K)
+
+        if multi_frame:
+            bbx = np.load(os.path.join(input_base, "tf", "bounding_box.npz"),
+                          allow_pickle=True)["arr_0"]
+            map_pcd = read_point_cloud(
+                os.path.join(rgbd_base, "scene", "integrated.ply")
+            ).transform(tfs[0]).crop(bbx[0, :], bbx[1, :])
+            n0 = len(map_pcd)
+            if n0 == 0:
+                continue
+            map_pcd = map_pcd.select(rng.random(n0) < min(opt_cfg.recon_n_pts / n0, 1.0))
+            map_pcd = clean_pcd(map_pcd, opt_cfg.recon_cluster_dist_m)
+            center = np.mean(map_pcd.aabb(), axis=0)
+
+            id_imgs, depth_imgs, poses = {}, {}, {}
+            for idx in sample_idx:
+                mf = mask_files[idx]
+                img_id_str = mf.split(".")[0]
+                _, _, depth_m, mask = _read_frame(rgbd_base, mf, depth_scale)
+                id_imgs[img_id_str] = mask
+                depth_imgs[img_id_str] = depth_m
+                poses[img_id_str] = tfs[int(img_id_str) - 1]
+            rd = get_render_data(
+                1, id_imgs, depth_imgs, poses, img_size, invK,
+                n_fg_pix=opt_cfg.n_fg_pix, n_bg_pix=opt_cfg.n_bg_pix,
+                n_bg_pad=opt_cfg.n_bg_pad, max_bbx_size=1000,
+            )
+            if rd["count"] == 0:
+                continue
+            obs = render_data_to_observations(
+                rd, map_pcd.points, opt_cfg.n_frame,
+                opt_cfg.n_fg_pix, opt_cfg.n_bg_pix, opt_cfg.recon_n_pts,
+            )
+            prepared.append((fruit_id, obs, center, gt_pcd.points, len(gt_pcd)))
+        else:
+            T_wc = np.linalg.inv(T_CW_SINGLE)
+            for idx in sample_idx:
+                mf = mask_files[idx]
+                img_id_str = mf.split(".")[0]
+                img_id = int(img_id_str)
+                _, _, depth_m, mask = _read_frame(rgbd_base, mf, depth_scale)
+                pcd = backproject(depth_m, K, pose=T_wc, mask=mask > 0, depth_trunc=1.0)
+                n0 = len(pcd)
+                if n0 < 0.2 * opt_cfg.recon_n_pts:
+                    continue  # too few 3d points (eval_lab_single_frame.py:189-191)
+                pcd = pcd.select(rng.random(n0) < min(opt_cfg.recon_n_pts / n0, 1.0))
+                pcd = clean_pcd(pcd, opt_cfg.recon_cluster_dist_m)
+                center = np.mean(pcd.aabb(), axis=0)
+                rd = get_render_data(
+                    1, {img_id_str: mask}, {img_id_str: depth_m},
+                    {img_id_str: T_wc}, img_size, invK,
+                    n_fg_pix=opt_cfg.n_fg_pix, n_bg_pix=opt_cfg.n_bg_pix,
+                    n_bg_pad=opt_cfg.n_bg_pad, max_bbx_size=600,
+                )
+                if rd["count"] == 0:
+                    continue
+                obs = render_data_to_observations(
+                    rd, pcd.points, opt_cfg.n_frame,
+                    opt_cfg.n_fg_pix, opt_cfg.n_bg_pix, opt_cfg.recon_n_pts,
+                )
+                # GT into this frame's world: T_wg = T_wc @ inv(T_gc)
+                T_wg = T_wc @ np.linalg.inv(tfs[img_id - 1])
+                gt_w = gt_pcd.transform(T_wg)
+                prepared.append((f"{fruit_id}/{img_id_str}", obs, center,
+                                 gt_w.points, len(gt_pcd)))
+
+    if not prepared:
+        log("no valid instances")
+        return {}
+
+    # ---------------- batched solve ----------------
+    B = len(prepared)
+    lat0 = jnp.tile(jnp.asarray(init_latent)[None, :], (B, 1))
+    T0 = []
+    for _, _, center, _, _ in prepared:
+        T_wo = np.eye(4, dtype=np.float32)
+        T_wo[:3, 3] = center
+        T0.append(np.linalg.inv(T_wo))
+    T0 = jnp.asarray(np.stack(T0))
+    obs_b = stack_observations([p[1] for p in prepared])
+
+    t0 = get_time()
+    if deepsdf_baseline:
+        lat_list, iters_list = [], []
+        for _, obs, _, _, _ in prepared:
+            lat, it = shape_opt_deepsdf(
+                params, spec, opt_cfg, obs.points_w, obs.point_valid,
+                jnp.asarray(init_latent),
+            )
+            lat_list.append(np.asarray(lat))
+            iters_list.append(int(it))
+        latents, T_ows = np.stack(lat_list), np.asarray(T0)
+        iters = np.asarray(iters_list)
+    else:
+        res = shape_pose_joint_opt_batched(
+            params, spec, opt_cfg, obs_b, lat0, T0, object_radius_max_m
+        )
+        latents, T_ows = np.asarray(res.latent), np.asarray(res.T_ow)
+        iters = np.asarray(res.iter_count)
+    t_total = get_time() - t0
+
+    # ---------------- meshing + metrics ----------------
+    mesher = MeshExtractor(params, spec, voxels_dim, object_radius_max_m)
+    meshes = mesher.complete_mesh_batch(
+        jnp.asarray(latents), [np.linalg.inv(T) for T in T_ows]
+    )
+    cd_metric = ChamferDistance()
+    pr_metric = PrecisionRecall(min_t=0.001, max_t=0.01, num=100)
+    for (label, _, _, gt_points, gt_count), mesh in zip(prepared, meshes):
+        complete = mesh.sample_points_uniformly(gt_count)
+        cd_metric.update(gt_points, complete.points)
+        pr_metric.update(gt_points, complete.points)
+
+    pr, re, f1, thre = pr_metric.compute_at_threshold(0.005)
+    cd = cd_metric.compute()
+    summary = {
+        "CD[mm]": cd * 1e3, "F-score[%]": f1, "Precision[%]": pr,
+        "Recall[%]": re, "threshold[mm]": thre,
+        "timing_s": t_total / B, "iteration": float(np.mean(iters)), "frames": B,
+    }
+    target = "the whole test set" if cfg.get("fruit_id", "none") == "none" else cfg["fruit_id"]
+    log(f"Results on {target}")
+    log(f"CD        [mm]: {cd * 1e3}")
+    log(f"F-score    [%]: {f1}")
+    log(f"Precision  [%]: {pr}")
+    log(f"Recall:    [%]: {re}")
+    log(f"threshold [mm]: {thre}")
+    log(f"timing     [s]: {summary['timing_s']}")
+    log(f"iteration     : {summary['iteration']}")
+    log(f"calculated over {B} frames")
+    wandb_log_summary("HOMA", cfg["run_name"], summary,
+                      cfg.get("vis", {}).get("wandb_log_on", False))
+    return summary

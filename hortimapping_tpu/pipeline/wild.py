@@ -1,0 +1,250 @@
+"""BUP20 wild sweet-pepper completion pipeline.
+
+Reference: `/root/reference/test_wild_completion.py` — per submap: build
+render data from posed frames (instance-id / depth / pose quadruples), clean
+the submap mesh into a surface cloud, initialize pose from the AABB + nearby
+background support, jointly optimize latent + Sim(3) pose, gate outliers,
+and write `submaps_complete/<name>.ply`, `submaps_clean/<name>.ply`,
+`submaps_pose/<name>.npy` (= T_wo).
+
+TPU-native flow: phase 1 (host) prepares every valid fruit's fixed-shape
+observation buffers; phase 2 runs ONE batched fused-LM solve over all fruits
+(sharded across chips when available); phase 3 gates outliers, decodes all
+meshes in one vmapped grid decode, and writes results.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from hortimapping_tpu.config import JointOptConfig
+from hortimapping_tpu.data.mesh import PointCloud
+from hortimapping_tpu.data.ply import read_mesh, write_mesh, write_point_cloud
+from hortimapping_tpu.data.preprocess import build_T_wo, clean_mesh, get_pose_init
+from hortimapping_tpu.data.rays import get_render_data, render_data_to_observations, stack_observations
+from hortimapping_tpu.models.workspace import config_decoder, load_latent_vectors
+from hortimapping_tpu.ops.mesher import MeshExtractor
+from hortimapping_tpu.optim.lm import shape_pose_joint_opt_batched
+from hortimapping_tpu.utils.misc import set_random_seed
+from hortimapping_tpu.vis import color_table, make_visualizer
+
+
+@dataclass
+class FruitResult:
+    name: str
+    submap_id: int
+    T_wo: np.ndarray
+    latent: np.ndarray
+    iter_count: int
+    valid: bool
+    reason: str = ""
+
+
+def load_frames(
+    data_base: str, begin_frame: int, end_frame: int, every_frame: int
+) -> Tuple[Dict, Dict, Dict]:
+    """Load `<frame>_submap_id.png` / `_depth.tiff` / `_pose.txt` quadruples
+    (reference `test_wild_completion.py:92-122`; rgb is vis-only and skipped).
+    """
+    import cv2
+
+    submap_id_imgs, depth_imgs, cam_poses = {}, {}, {}
+    frame_count = 0
+    for fname in sorted(os.listdir(data_base)):
+        if "id" not in fname:
+            continue
+        if frame_count < begin_frame or frame_count > end_frame or frame_count % every_frame != 0:
+            frame_count += 1
+            continue
+        path = os.path.join(data_base, fname)
+        submap_id_img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        depth_img = cv2.imread(
+            path.replace("submap_id.png", "depth.tiff"), cv2.IMREAD_UNCHANGED
+        )
+        pose_path = path.replace("submap_id.png", "pose.txt")
+        if os.path.isfile(pose_path):
+            vals = [float(x) for x in open(pose_path).read().split()]
+            T_wc = np.asarray(vals, np.float64).reshape(4, 4)
+        else:
+            continue
+        frame_id = fname.split("_")[0]
+        submap_id_imgs[frame_id] = np.asarray(submap_id_img)
+        depth_imgs[frame_id] = np.asarray(depth_img, float)
+        cam_poses[frame_id] = T_wc
+        frame_count += 1
+    return submap_id_imgs, depth_imgs, cam_poses
+
+
+def pose_outlier_reason(T_wo: np.ndarray, opt_cfg: JointOptConfig) -> str:
+    """Final scale / pitch / roll gates (`test_wild_completion.py:231-246`).
+    Returns '' when the pose is acceptable."""
+    from scipy.spatial.transform import Rotation
+
+    final_scale = np.linalg.det(T_wo[:3, :3]) ** (1.0 / 3.0)
+    if not (opt_cfg.outlier_scale_min <= final_scale <= opt_cfg.outlier_scale_max):
+        return f"scale {final_scale:.3f} outlier"
+    euler = Rotation.from_matrix(T_wo[:3, :3] / final_scale).as_euler("zyx", degrees=True)
+    _, pitch, roll = euler[0], euler[1], euler[2]
+    if abs(pitch) > opt_cfg.outlier_rot_max_deg:
+        return f"pitch {pitch:.1f} deg outlier"
+    if abs(roll) > opt_cfg.outlier_rot_max_deg:
+        return f"roll {roll:.1f} deg outlier"
+    return ""
+
+
+def run_wild_completion(cfg: Dict, log=print) -> List[FruitResult]:
+    import jax
+    import jax.numpy as jnp
+
+    set_random_seed(42)
+    opt_cfg = JointOptConfig.from_dict(cfg)
+    log_on = cfg.get("vis", {}).get("log_on", False)
+    vis = make_visualizer(cfg.get("vis", {}).get("vis_on", False),
+                          pause_time_s=cfg.get("vis", {}).get("vis_pause_s", 1e-2))
+
+    params, spec = config_decoder(cfg["deepsdf_dir"], "latest")
+    latents_train = load_latent_vectors(cfg["deepsdf_dir"], "latest")
+    init_latent = np.asarray(jnp.mean(latents_train, axis=0))
+
+    data_base = cfg["data_dir"]
+    submap_folder = os.path.join(data_base, "submaps")
+    out_dirs = {
+        "complete": submap_folder + "_complete",
+        "clean": submap_folder + "_clean",
+        "pose": submap_folder + "_pose",
+    }
+    for d in out_dirs.values():
+        os.makedirs(d, exist_ok=True)
+
+    object_radius_max_m = float(cfg["vis"]["object_radius_max_m"])
+    mc_res_mm = float(cfg["vis"]["mc_res_mm"])
+    voxels_dim = int(2 * object_radius_max_m * 1e3 / mc_res_mm)
+
+    import yaml
+
+    with open(cfg["cam_info_path"]) as stream:
+        cam_param = yaml.safe_load(stream)
+    K = np.asarray(cam_param["intrinsics"])
+    img_size = cam_param["img_size"]
+    invK = np.linalg.inv(K)
+
+    submap_id_imgs, depth_imgs, cam_poses = load_frames(
+        data_base, cfg["begin_frame"], cfg["end_frame"], cfg["every_frame"]
+    )
+    if log_on:
+        log(f"loaded {len(submap_id_imgs)} frames")
+
+    # ---------------- phase 1: host preprocessing, all submaps ----------------
+    bg_pcd: Optional[PointCloud] = None
+    prepared = []   # (name, submap_id, obs, T_ow0, clean_pcd, mean_color)
+    results: List[FruitResult] = []
+    for submap_name in sorted(os.listdir(submap_folder)):
+        submap_cat = submap_name.split("_")[1].split(".")[0]
+        submap_id = int(submap_name.split("_")[0])
+        if submap_id > 1 and submap_id < cfg["begin_submap"]:
+            continue
+        mesh = read_mesh(os.path.join(submap_folder, submap_name))
+        if submap_cat == "Background":
+            bg_pcd = mesh.sample_points_uniformly(500000).voxel_down_sample(0.005)
+            continue
+
+        render_data = get_render_data(
+            submap_id, submap_id_imgs, depth_imgs, cam_poses, img_size, invK,
+            n_fg_pix=opt_cfg.n_fg_pix, n_bg_pix=opt_cfg.n_bg_pix,
+            n_bg_pad=opt_cfg.n_bg_pad,
+        )
+        if render_data["count"] == 0:
+            results.append(FruitResult(submap_name, submap_id, np.eye(4),
+                                       init_latent, 0, False, "no valid match"))
+            continue
+
+        cur_pcd_world = clean_mesh(
+            mesh, opt_cfg.recon_n_pts, opt_cfg.recon_cluster_dist_m
+        )
+        center, yaw, bbx_size, valid_flag = get_pose_init(cur_pcd_world, bg_pcd)
+        if not valid_flag:
+            results.append(FruitResult(submap_name, submap_id, np.eye(4),
+                                       init_latent, 0, False, "bbox gate"))
+            continue
+
+        object_radius_m = object_radius_max_m * 0.8
+        scale_init = (
+            max(bbx_size / (2 * object_radius_m), 0.5)
+            if opt_cfg.pose_init_scale_on else 1.0
+        )
+        T_wo0 = build_T_wo(center, yaw, scale_init, rot_on=opt_cfg.pose_init_rot_on)
+        T_ow0 = np.linalg.inv(T_wo0)
+
+        obs = render_data_to_observations(
+            render_data, cur_pcd_world.points, opt_cfg.n_frame,
+            opt_cfg.n_fg_pix, opt_cfg.n_bg_pix, opt_cfg.recon_n_pts,
+        )
+        mean_color = (
+            np.mean(cur_pcd_world.colors, axis=0)
+            if cur_pcd_world.colors is not None else color_table[submap_id % 10]
+        )
+        prepared.append((submap_name, submap_id, obs, T_ow0, cur_pcd_world, mean_color))
+
+    if not prepared:
+        log("no valid submaps")
+        return results
+
+    # ---------------- phase 2: one batched fused-LM solve ----------------
+    obs_b = stack_observations([p[2] for p in prepared])
+    lat0 = jnp.tile(jnp.asarray(init_latent)[None, :], (len(prepared), 1))
+    T0 = jnp.stack([jnp.asarray(p[3], jnp.float32) for p in prepared])
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        from hortimapping_tpu.parallel import fruit_mesh, shard_joint_opt
+
+        res = shard_joint_opt(params, spec, opt_cfg, obs_b, lat0, T0,
+                              object_radius_max_m, fruit_mesh())
+    else:
+        res = shape_pose_joint_opt_batched(
+            params, spec, opt_cfg, obs_b, lat0, T0, object_radius_max_m
+        )
+
+    # ---------------- phase 3: gates, batched meshing, outputs ----------------
+    mesher = MeshExtractor(params, spec, voxels_dim, object_radius_max_m)
+    latents = np.asarray(res.latent)
+    T_ows = np.asarray(res.T_ow)
+    iters = np.asarray(res.iter_count)
+    failed = np.asarray(res.failed)
+
+    keep_idx, keep_T_wo = [], []
+    for i, (name, sid, _, _, clean_p, color) in enumerate(prepared):
+        if failed[i]:
+            results.append(FruitResult(name, sid, np.eye(4), latents[i],
+                                       int(iters[i]), False, "optimization failed"))
+            continue
+        T_wo = np.linalg.inv(T_ows[i])
+        reason = pose_outlier_reason(T_wo, opt_cfg)
+        if reason:
+            results.append(FruitResult(name, sid, T_wo, latents[i],
+                                       int(iters[i]), False, reason))
+            continue
+        keep_idx.append(i)
+        keep_T_wo.append(T_wo)
+
+    if keep_idx:
+        import jax.numpy as jnp2
+
+        meshes = mesher.complete_mesh_batch(
+            jnp2.asarray(latents[keep_idx]), keep_T_wo,
+            [prepared[i][5] for i in keep_idx],
+        )
+        for mesh_out, i, T_wo in zip(meshes, keep_idx, keep_T_wo):
+            name, sid, _, _, clean_p, _ = prepared[i]
+            write_mesh(os.path.join(out_dirs["complete"], name), mesh_out)
+            write_point_cloud(os.path.join(out_dirs["clean"], name), clean_p)
+            np.save(os.path.join(out_dirs["pose"], name.replace("ply", "npy")), T_wo)
+            results.append(FruitResult(name, sid, T_wo, latents[i], int(iters[i]), True))
+            if log_on:
+                log(f"completed {name} in {int(iters[i])} iters")
+            vis.update_mesh_pose(mesh_out, np.eye(4), 0)
+
+    return results

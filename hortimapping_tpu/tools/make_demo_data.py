@@ -1,0 +1,210 @@
+"""Generate a synthetic BUP20-style demo dataset for the wild pipeline.
+
+The reference's example data is downloaded from an external server
+(`/root/reference/scripts/download_bup_example.sh`, zero-egress here), so
+the framework ships a generator that renders a fully self-consistent scene
+from the synthetic ellipsoid world (`tools/synthetic.py`): N fruits with
+known codes/poses in front of a background wall, observed by an orbiting
+pinhole camera. Output layout matches what `test_wild_completion.py`
+consumes (reference `test_wild_completion.py:92-122,140-151`):
+
+    <out>/cam_info.yaml
+    <out>/<frame>_submap_id.png      instance-id image (uint8)
+    <out>/<frame>_depth.tiff         z-depth [m] (float32 tiff)
+    <out>/<frame>_color.png          RGB (flat instance colors)
+    <out>/<frame>_pose.txt           T_wc row-major
+    <out>/submaps/00001_Background.ply
+    <out>/submaps/<id>_Sweetpepper.ply   (partial observed-side mesh)
+    <out>/gt_poses.npz, gt_codes.npz     ground truth for evaluation
+
+Run:  python -m hortimapping_tpu.tools.make_demo_data --out data/synthetic_bup
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import List, Tuple
+
+import numpy as np
+
+from hortimapping_tpu import native
+from hortimapping_tpu.data.mesh import TriangleMesh
+from hortimapping_tpu.data.ply import write_mesh
+from hortimapping_tpu.models.workspace import load_specs
+from hortimapping_tpu.tools.synthetic import SyntheticCategory, _ellipsoid_sdf_np
+from hortimapping_tpu.vis import color_table
+
+
+def scene_sdf(x_w: np.ndarray, fruits: List[Tuple[np.ndarray, np.ndarray]],
+              wall_z: float) -> Tuple[np.ndarray, np.ndarray]:
+    """(distance, instance) of the union scene. instance 0 = none, 1 = wall,
+    k+2 = fruit k. x_w: (..., 3) world points."""
+    d = wall_z - x_w[..., 2]                 # plane z = wall_z, normal -z
+    inst = np.ones(x_w.shape[:-1], np.int32)
+    for k, (T_ow, radii) in enumerate(fruits):
+        s = np.linalg.det(T_ow[:3, :3]) ** (1.0 / 3.0)
+        x_o = x_w @ T_ow[:3, :3].T + T_ow[:3, 3]
+        dk = _ellipsoid_sdf_np(x_o, radii) / s
+        closer = dk < d
+        d = np.where(closer, dk, d)
+        inst = np.where(closer, k + 2, inst)
+    return d, inst
+
+
+def render_frame(T_wc: np.ndarray, K: np.ndarray, W: int, H: int,
+                 fruits, wall_z: float):
+    """Ray-march every pixel; returns (depth z [m], instance id, rgb)."""
+    u, v = np.meshgrid(np.arange(W), np.arange(H))
+    invK = np.linalg.inv(K)
+    pix = np.stack([u, v, np.ones_like(u)], axis=-1).reshape(-1, 3).astype(np.float64)
+    dirs_c = pix @ invK.T                     # z=1-normalized
+    norms = np.linalg.norm(dirs_c, axis=-1, keepdims=True)
+    dirs_w = (dirs_c / norms) @ T_wc[:3, :3].T
+    origin = T_wc[:3, 3]
+
+    t = np.full(dirs_w.shape[0], 0.05)
+    for _ in range(96):
+        x = origin + t[:, None] * dirs_w
+        d, _ = scene_sdf(x, fruits, wall_z)
+        t = t + np.clip(d, -0.05, 0.5)
+    x = origin + t[:, None] * dirs_w
+    d, inst = scene_sdf(x, fruits, wall_z)
+    hit = (np.abs(d) < 1e-3) & (t > 0) & (t < 5.0)
+    inst = np.where(hit, inst, 0)
+
+    x_c = (x - origin) @ T_wc[:3, :3]         # world -> cam
+    depth = np.where(hit, x_c[:, 2], 0.0)
+    rgb = np.zeros((H * W, 3), np.uint8)
+    rgb[inst == 1] = (90, 90, 90)
+    for k in range(len(fruits)):
+        rgb[inst == k + 2] = tuple(int(c * 255) for c in color_table[(k + 2) % 10])
+    return (depth.reshape(H, W).astype(np.float32),
+            inst.reshape(H, W).astype(np.uint8),
+            rgb.reshape(H, W, 3))
+
+
+def partial_fruit_mesh(T_wo: np.ndarray, radii: np.ndarray,
+                       keep_dir_w: np.ndarray, grid_n: int = 48) -> TriangleMesh:
+    """Observed-side mesh: iso-surface of the ellipsoid, keeping triangles
+    whose centroid faces `keep_dir_w` (simulates a partial submap)."""
+    r = float(np.max(radii)) * 1.3
+    g = np.linspace(-r, r, grid_n)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    pts = np.stack([X, Y, Z], axis=-1)
+    sdf = _ellipsoid_sdf_np(pts, radii).astype(np.float32)
+    verts, faces = native.marching_tetrahedra(sdf, 0.0, spacing=float(g[1] - g[0]))
+    verts = verts - r  # index space -> object frame
+    T_wo33, t_wo = T_wo[:3, :3], T_wo[:3, 3]
+    verts_w = verts @ T_wo33.T + t_wo
+    centroids = verts_w[faces].mean(axis=1)
+    center_w = t_wo
+    keep = (centroids - center_w) @ keep_dir_w > -0.1 * np.linalg.norm(
+        (centroids - center_w), axis=1
+    )
+    mesh = TriangleMesh(verts_w.astype(np.float32), faces[keep])
+    return mesh
+
+
+def wall_mesh(wall_z: float, half: float = 0.6, center=(0.0, 0.0)) -> TriangleMesh:
+    cx, cy = center
+    v = np.array([
+        [cx - half, cy - half, wall_z], [cx + half, cy - half, wall_z],
+        [cx + half, cy + half, wall_z], [cx - half, cy + half, wall_z],
+    ], np.float32)
+    f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    return TriangleMesh(v, f)
+
+
+def main():
+    import cv2
+    import yaml
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="data/synthetic_bup")
+    ap.add_argument("--deepsdf_dir", default="assets/synthetic_pepper_32")
+    ap.add_argument("--n_fruits", type=int, default=3)
+    ap.add_argument("--n_frames", type=int, default=12)
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--height", type=int, default=192)
+    ap.add_argument("--seed", type=int, default=7)
+    args = ap.parse_args()
+
+    specs = load_specs(args.deepsdf_dir)
+    syn = specs.get("synthetic", {})
+    base_radius = float(syn.get("base_radius", 0.06))
+    code_len = int(specs["CodeLength"])
+    from hortimapping_tpu.models.decoder import DecoderSpec
+
+    cat = SyntheticCategory(
+        spec=DecoderSpec(code_length=code_len), base_radius=base_radius
+    )
+    proj = cat.projection()
+
+    rng = np.random.default_rng(args.seed)
+    wall_z = 0.55
+    fruits, T_wos, codes = [], [], []
+    for k in range(args.n_fruits):
+        code = (rng.normal(size=code_len) * 0.4).astype(np.float32)
+        radii = base_radius * np.exp(proj @ code)
+        yaw = rng.uniform(-0.4, 0.4)
+        c, s = np.cos(yaw), np.sin(yaw)
+        T_wo = np.eye(4)
+        T_wo[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        T_wo[:3, 3] = [0.12 * (k - (args.n_fruits - 1) / 2),
+                       rng.uniform(-0.03, 0.03), 0.45]
+        fruits.append((np.linalg.inv(T_wo), radii))
+        T_wos.append(T_wo)
+        codes.append(code)
+
+    os.makedirs(args.out, exist_ok=True)
+    submap_dir = os.path.join(args.out, "submaps")
+    os.makedirs(submap_dir, exist_ok=True)
+
+    # camera intrinsics + sweep
+    W, H = args.width, args.height
+    K = np.array([[0.9 * W, 0, W / 2], [0, 0.9 * W, H / 2], [0, 0, 1.0]])
+    with open(os.path.join(args.out, "cam_info.yaml"), "w") as f:
+        yaml.safe_dump(
+            {"intrinsics": K.tolist(), "extrinsics": np.eye(4).tolist(),
+             "img_size": [H, W]}, f)
+
+    for fi in range(args.n_frames):
+        ang = 0.5 * np.sin(2 * np.pi * fi / args.n_frames)
+        cam_pos = np.array([0.25 * np.sin(ang), 0.05 * np.cos(2 * ang), -0.02])
+        look = np.array([0.0, 0.0, 0.45])
+        zc = look - cam_pos
+        zc /= np.linalg.norm(zc)
+        xc = np.cross(np.array([0.0, 1.0, 0.0]), zc)
+        xc /= np.linalg.norm(xc)
+        yc = np.cross(zc, xc)
+        T_wc = np.eye(4)
+        T_wc[:3, 0], T_wc[:3, 1], T_wc[:3, 2], T_wc[:3, 3] = xc, yc, zc, cam_pos
+
+        depth, inst, rgb = render_frame(T_wc, K, W, H, fruits, wall_z)
+        stem = os.path.join(args.out, f"{fi:05d}")
+        cv2.imwrite(stem + "_submap_id.png", inst)
+        cv2.imwrite(stem + "_depth.tiff", depth)
+        cv2.imwrite(stem + "_color.png", cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+        with open(stem + "_pose.txt", "w") as f:
+            f.write("\n".join(" ".join(str(x) for x in row) for row in T_wc))
+
+    # submaps: wall + partial fruit meshes (observed from -z side)
+    write_mesh(os.path.join(submap_dir, "00001_Background.ply"),
+               wall_mesh(wall_z, center=(0.0, 0.0)))
+    for k, (T_wo, code) in enumerate(zip(T_wos, codes)):
+        radii = base_radius * np.exp(proj @ code)
+        mesh = partial_fruit_mesh(T_wo, radii, keep_dir_w=np.array([0.0, 0.0, -1.0]))
+        write_mesh(os.path.join(submap_dir, f"{k + 2:05d}_Sweetpepper.ply"), mesh)
+
+    np.savez(os.path.join(args.out, "gt_poses.npz"), np.stack(T_wos))
+    np.savez(os.path.join(args.out, "gt_codes.npz"), np.stack(codes))
+    with open(os.path.join(args.out, "meta.json"), "w") as f:
+        json.dump({"n_fruits": args.n_fruits, "n_frames": args.n_frames,
+                   "wall_z": wall_z, "base_radius": base_radius}, f)
+    print(f"wrote synthetic BUP-style dataset to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
