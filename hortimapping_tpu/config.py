@@ -12,7 +12,7 @@ constants.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import yaml
 
@@ -72,10 +72,20 @@ class JointOptConfig:
     outlier_scale_max: float = 1.25
     outlier_rot_max_deg: float = 60.0
     # TPU performance knobs (see ops/render.py RenderConfig):
-    #   jac_cap: -1 = dense Jacobians, 0 = auto budget (R*M // 2), > 0 explicit
+    #   jac_cap: -1 = dense Jacobians, 0 = auto budget, > 0 explicit
     #   fwd_bf16: bfloat16 forward render pass
+    #   use_pallas: None = auto (on when running on real TPU hardware —
+    #   interpreter-mode kernels would only slow down CPU runs/tests)
     jac_cap: int = 0
     fwd_bf16: bool = False
+    use_pallas: Optional[bool] = None
+
+    def pallas_resolved(self) -> bool:
+        if self.use_pallas is not None:
+            return self.use_pallas
+        import jax
+
+        return jax.default_backend() == "tpu"
 
     @property
     def jac_cap_resolved(self) -> int:
@@ -146,4 +156,5 @@ class JointOptConfig:
             outlier_rot_max_deg=float(out.get("rot_max_deg", d.outlier_rot_max_deg)),
             jac_cap=int(tpu.get("jac_cap", d.jac_cap)),
             fwd_bf16=bool(tpu.get("fwd_bf16", d.fwd_bf16)),
+            use_pallas=tpu.get("use_pallas", d.use_pallas),
         )

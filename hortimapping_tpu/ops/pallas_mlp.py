@@ -1,0 +1,271 @@
+"""Pallas TPU kernels: fused DeepSDF MLP forward and forward+input-gradient.
+
+Why: the XLA path materializes every hidden activation ([N, 512] per layer)
+in HBM — at the render workload (N ~ 2M samples/iter) that is ~60 GB of
+activation traffic per LM iteration, which bounds the decoder cost. These
+kernels tile N, keep ALL weights and per-tile activations resident in VMEM
+(weights ~4 MB bf16 / 8 MB f32 incl. padding), and write only the outputs:
+HBM traffic drops to inputs + outputs.
+
+Layout (everything 128-lane aligned, no sub-lane slicing):
+  * input dim C+3 (35) is zero-padded to 128; W0 rows likewise;
+  * the `latent_in` skip (input re-concatenated at layer `li`,
+    reference `deepsdf/networks/deep_sdf_decoder.py:42-47,103-104`) becomes
+    an ADD of `x @ P`, P a constant placement matrix P[i, D-(C+3)+i] = 1 —
+    layer li-1's weight columns beyond D-(C+3) are zero, so
+    h_in_li = h_out_{li-1} + x @ P is exactly the concat, with the concat
+    turned into one tiny MXU matmul;
+  * the scalar head is zero-padded to 128 output columns (column 0 real).
+
+The backward computes ONLY input gradients (the decoder is frozen —
+reference semantics, `wild_completion/utils.py:175-193`): one reverse chain
+of `g @ W^T` matmuls (dot_general contracting the output dim, so no
+transposed weight copies) with ReLU masks from the in-VMEM forward
+activations. No weight gradients, no HBM round trips.
+
+Supported architecture: uniform hidden width (multiple of 128), at most one
+latent_in layer — i.e. the DeepSDF family actually shipped
+(`deepsdf/models/*/specs.json`). Anything else uses the XLA path in
+models/decoder.py. All entry points here are jit-safe (weights may be
+tracers; packing is jnp ops that XLA hoists out of loops).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hortimapping_tpu.models.decoder import DecoderSpec, Params
+
+LANE = 128
+DEFAULT_TILE = 256
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def supported(spec: DecoderSpec) -> bool:
+    return (
+        len(set(spec.dims)) == 1
+        and len(spec.latent_in) <= 1
+        and spec.dims[0] >= LANE
+        and spec.dims[0] % LANE == 0
+        and spec.in_dim <= LANE
+        and (not spec.latent_in or 1 <= spec.latent_in[0] <= spec.num_linear - 1)
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class PackedSpec:
+    d: int          # hidden width
+    n_mid: int      # number of stacked middle layers (l1 .. l_{last-1})
+    li: int         # latent_in layer index (0 = none)
+    in_dim: int     # true input dim (C+3)
+
+
+def packed_spec(spec: DecoderSpec) -> PackedSpec:
+    return PackedSpec(
+        d=spec.dims[0],
+        n_mid=spec.num_linear - 2,
+        li=spec.latent_in[0] if spec.latent_in else 0,
+        in_dim=spec.in_dim,
+    )
+
+
+def pack_params(
+    params: Params, spec: DecoderSpec, dtype: jnp.dtype = jnp.float32
+) -> Tuple[jnp.ndarray, ...]:
+    """Pad/stack decoder weights for the kernels (jit-safe jnp ops).
+
+    Returns (w0 [LANE, D], wm [n_mid, D, D], wl [D, LANE], p [LANE, D],
+    b0 [1, D], bm [n_mid, 1, D], bl [1, LANE]). Matmul weights are cast to
+    `dtype`; biases stay f32 (added after f32 accumulation).
+    """
+    ps = packed_spec(spec)
+    d, n_lin = ps.d, spec.num_linear
+
+    def pad_w(a, shape):
+        return jnp.zeros(shape, jnp.float32).at[: a.shape[0], : a.shape[1]].set(a)
+
+    def pad_b(a, n):
+        return jnp.zeros((1, n), jnp.float32).at[0, : a.shape[0]].set(a)
+
+    w0 = pad_w(params["lin0"]["w"], (LANE, d)).astype(dtype)
+    b0 = pad_b(params["lin0"]["b"], d)
+    wm = jnp.stack(
+        [pad_w(params[f"lin{l}"]["w"], (d, d)) for l in range(1, n_lin - 1)]
+    ).astype(dtype)
+    bm = jnp.stack([pad_b(params[f"lin{l}"]["b"], d) for l in range(1, n_lin - 1)])
+    wl = pad_w(params[f"lin{n_lin - 1}"]["w"], (d, LANE)).astype(dtype)
+    bl = pad_b(params[f"lin{n_lin - 1}"]["b"], LANE)
+    p_np = np.zeros((LANE, d), np.float32)
+    if ps.li:
+        for i in range(ps.in_dim):
+            p_np[i, d - ps.in_dim + i] = 1.0
+    p = jnp.asarray(p_np, dtype)
+    return (w0, wm, wl, p, b0, bm, bl)
+
+
+def _fwd_chain(x, w0, wm, wl, p, b0, bm, bl, ps: PackedSpec, cdt, save=None):
+    """Forward chain on one tile. x: [T, LANE] f32 -> tanh out [T, LANE]
+    (column 0 real). Appends post-ReLU activations to `save` if given."""
+    f32 = jnp.float32
+    h = jnp.dot(x.astype(cdt), w0, preferred_element_type=f32) + b0
+    h = jnp.maximum(h, 0.0)
+    if save is not None:
+        save.append(h)
+    skip = None
+    if ps.li:
+        skip = jnp.dot(x.astype(cdt), p, preferred_element_type=f32)
+    for j in range(ps.n_mid):
+        if j + 1 == ps.li:
+            h = h + skip
+        h = jnp.dot(h.astype(cdt), wm[j], preferred_element_type=f32) + bm[j]
+        h = jnp.maximum(h, 0.0)
+        if save is not None:
+            save.append(h)
+    if ps.n_mid + 1 == ps.li:
+        h = h + skip
+    return jnp.tanh(jnp.dot(h.astype(cdt), wl, preferred_element_type=f32) + bl)
+
+
+def _dot_t(g, w, cdt):
+    """g [T, out] @ w^T -> [T, in], contracting the output dim of w [in, out]."""
+    return jax.lax.dot_general(
+        g.astype(cdt), w, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _fwd_kernel(x_ref, w0_ref, wm_ref, wl_ref, p_ref, b0_ref, bm_ref, bl_ref,
+                sdf_ref, *, ps: PackedSpec, cdt):
+    sdf_ref[:] = _fwd_chain(
+        x_ref[:], w0_ref[:], wm_ref[:], wl_ref[:], p_ref[:],
+        b0_ref[:], bm_ref[:], bl_ref[:], ps, cdt,
+    )
+
+
+def _fwd_grad_kernel(x_ref, w0_ref, wm_ref, wl_ref, p_ref, b0_ref, bm_ref,
+                     bl_ref, sdf_ref, grad_ref, *, ps: PackedSpec, cdt):
+    f32 = jnp.float32
+    x = x_ref[:]
+    acts = []
+    y = _fwd_chain(x, w0_ref[:], wm_ref[:], wl_ref[:], p_ref[:],
+                   b0_ref[:], bm_ref[:], bl_ref[:], ps, cdt, save=acts)
+    sdf_ref[:] = y
+
+    # input gradient of column 0 of tanh(h @ wl + bl)
+    col0 = (jax.lax.broadcasted_iota(jnp.int32, y.shape, 1) == 0).astype(f32)
+    g = _dot_t((1.0 - y * y) * col0, wl_ref[:], cdt)               # [T, D]
+    grad_x = jnp.zeros_like(x)
+    if ps.n_mid + 1 == ps.li:
+        grad_x = grad_x + _dot_t(g, p_ref[:], cdt)
+    for j in range(ps.n_mid - 1, -1, -1):
+        g = g * (acts[j + 1] > 0.0)                                # relu mask
+        g = _dot_t(g, wm_ref[j], cdt)
+        if j + 1 == ps.li:
+            grad_x = grad_x + _dot_t(g, p_ref[:], cdt)
+    g = g * (acts[0] > 0.0)
+    grad_ref[:] = grad_x + _dot_t(g, w0_ref[:], cdt)
+
+
+def _interpret() -> bool:
+    """Compiled Mosaic only on real TPU; interpreter elsewhere (tests)."""
+    return jax.default_backend() != "tpu"
+
+
+def _pad_inputs(inputs: jnp.ndarray, tile: int):
+    lead = inputs.shape[:-1]
+    n = int(np.prod(lead)) if lead else 1
+    flat = inputs.reshape(n, inputs.shape[-1]).astype(jnp.float32)
+    n_pad = _round_up(max(n, tile), tile)
+    x = jnp.zeros((n_pad, LANE), jnp.float32)
+    x = x.at[:n, : inputs.shape[-1]].set(flat)
+    return x, n, lead
+
+
+def mlp_sdf(
+    packed: Tuple[jnp.ndarray, ...],
+    ps: PackedSpec,
+    inputs: jnp.ndarray,
+    bf16: bool = True,
+    tile: int = DEFAULT_TILE,
+) -> jnp.ndarray:
+    """(..., C+3) -> (...,) tanh SDF via the fused forward kernel."""
+    x, n, lead = _pad_inputs(inputs, tile)
+    cdt = jnp.bfloat16 if bf16 else jnp.float32
+    kernel = functools.partial(_fwd_kernel, ps=ps, cdt=cdt)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], LANE), jnp.float32),
+        grid=(x.shape[0] // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(7)],
+        ],
+        out_specs=pl.BlockSpec((tile, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(x, *packed)
+    return out[:n, 0].reshape(lead)
+
+
+def mlp_sdf_and_input_grad(
+    packed: Tuple[jnp.ndarray, ...],
+    ps: PackedSpec,
+    inputs: jnp.ndarray,
+    bf16: bool = False,
+    tile: int = DEFAULT_TILE,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(..., C+3) -> (sdf (...,), input grad (..., C+3)) via the fused
+    forward+backward kernel."""
+    x, n, lead = _pad_inputs(inputs, tile)
+    cdt = jnp.bfloat16 if bf16 else jnp.float32
+    kernel = functools.partial(_fwd_grad_kernel, ps=ps, cdt=cdt)
+    sdf, grad = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((x.shape[0], LANE), jnp.float32),
+            jax.ShapeDtypeStruct((x.shape[0], LANE), jnp.float32),
+        ),
+        grid=(x.shape[0] // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(7)],
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=_interpret(),
+    )(x, *packed)
+    return sdf[:n, 0].reshape(lead), grad[:n, : ps.in_dim].reshape(lead + (ps.in_dim,))
+
+
+class PallasDecoder:
+    """Convenience wrapper with packed weights held as device arrays
+    (for the mesher / tools; inside jitted code use the functional API)."""
+
+    def __init__(self, params: Params, spec: DecoderSpec, bf16: bool = True,
+                 tile: int = DEFAULT_TILE):
+        if not supported(spec):
+            raise ValueError(f"architecture not kernel-supported: {spec}")
+        self.spec = spec
+        self.bf16 = bf16
+        self.tile = tile
+        self.ps = packed_spec(spec)
+        self.packed = pack_params(params, spec, jnp.bfloat16 if bf16 else jnp.float32)
+        self.packed_f32 = pack_params(params, spec, jnp.float32)
+
+    def sdf(self, inputs: jnp.ndarray) -> jnp.ndarray:
+        return mlp_sdf(self.packed, self.ps, inputs, self.bf16, self.tile)
+
+    def sdf_and_input_grad(self, inputs: jnp.ndarray):
+        return mlp_sdf_and_input_grad(self.packed_f32, self.ps, inputs, False, self.tile)

@@ -40,6 +40,7 @@ from hortimapping_tpu.models.decoder import (
     decoder_sdf,
     decoder_sdf_and_input_grad,
 )
+from hortimapping_tpu.ops import pallas_mlp
 from hortimapping_tpu.ops.lie import (
     points_to_pose_jacobian_se3,
     points_to_pose_jacobian_sim3,
@@ -73,6 +74,11 @@ class RenderConfig:
       fwd_bf16   — run the forward (no-grad) decoder pass in bfloat16
                    matmuls with f32 accumulation (2x MXU rate). The Jacobian
                    pass stays f32.
+      use_pallas — route decoder evaluations through the fused Pallas MLP
+                   kernels (ops/pallas_mlp.py): weights + activations stay
+                   in VMEM, cutting the HBM activation traffic that bounds
+                   the XLA path. Falls back to XLA automatically when the
+                   architecture is not kernel-supported.
     """
 
     scale_on: bool = False          # Sim(3) (7-dof) vs SE(3) (6-dof) pose Jacobians
@@ -84,6 +90,7 @@ class RenderConfig:
     min_grad_th: float = 1e-6       # de/do cutoff (`loss.py:111`)
     jac_cap: int = 0                # 0 = dense Jacobians; > 0 = compacted budget
     fwd_bf16: bool = False          # bf16 forward pass
+    use_pallas: bool = False        # fused Pallas MLP kernels
 
     @property
     def pose_dim(self) -> int:
@@ -126,13 +133,24 @@ def render_residuals(
 
     # --- decoder forward on the dense grid (pass 1) ---
     fwd_dtype = jnp.bfloat16 if cfg.fwd_bf16 else jnp.float32
+    # the XLA forward is already compute-bound at the hardware matmul rate
+    # (measured ~130 TF/s); the fused Pallas kernel only wins on the
+    # forward+input-grad pass (~2x vs the XLA VJP), so that is what
+    # `use_pallas` routes
+    pallas_on = cfg.use_pallas and pallas_mlp.supported(spec)
+    if pallas_on:
+        pk_grad = pallas_mlp.pack_params(params, spec, jnp.float32)
+        pps = pallas_mlp.packed_spec(spec)
     if cfg.jac_cap > 0:
         sdf = decoder_sdf(params, spec, latent, pts_obj, fwd_dtype)     # [R, M]
         dsdf_din = None  # Jacobians come from the compacted pass below
     else:
         lat = jnp.broadcast_to(latent, (R, M) + latent.shape)
         inputs = jnp.concatenate([lat, pts_obj], axis=-1)
-        sdf, dsdf_din = decoder_sdf_and_input_grad(params, spec, inputs)  # [R,M], [R,M,C+3]
+        if pallas_on:
+            sdf, dsdf_din = pallas_mlp.mlp_sdf_and_input_grad(pk_grad, pps, inputs)
+        else:
+            sdf, dsdf_din = decoder_sdf_and_input_grad(params, spec, inputs)  # [R,M], [R,M,C+3]
 
     if cfg.log_occ_on:
         sigma = logistic_sigma(cfg.occ_cutoff)
@@ -203,7 +221,10 @@ def render_residuals(
         pts_sel = pts_obj.reshape(-1, 3)[sel]                           # [K, 3]
         lat_sel = jnp.broadcast_to(latent, (K,) + latent.shape)
         in_sel = jnp.concatenate([lat_sel, pts_sel], axis=-1)
-        _, g_sel = decoder_sdf_and_input_grad(params, spec, in_sel)     # [K, C+3]
+        if pallas_on:
+            _, g_sel = pallas_mlp.mlp_sdf_and_input_grad(pk_grad, pps, in_sel)
+        else:
+            _, g_sel = decoder_sdf_and_input_grad(params, spec, in_sel)  # [K, C+3]
         ds_dcode = g_sel[:, : spec.code_length]
         ds_dx = g_sel[:, spec.code_length :]
         if cfg.scale_on:

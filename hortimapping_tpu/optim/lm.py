@@ -47,6 +47,7 @@ def _render_config(cfg: JointOptConfig) -> RenderConfig:
         occlusion_on=cfg.occlusion_on,
         jac_cap=cfg.jac_cap_resolved,
         fwd_bf16=cfg.fwd_bf16,
+        use_pallas=cfg.pallas_resolved(),
     )
 
 

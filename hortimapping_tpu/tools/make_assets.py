@@ -48,6 +48,16 @@ CATEGORIES = {
         batch=8192,
         lr=3e-4,
     ),
+    # second category, mirroring the reference's strawberry decoder
+    # (`deepsdf/models/strawberry_32/specs.json`: ClampingDistance 0.05,
+    # smaller fruit geometry — lab_berry.yaml radius 0.04 m)
+    "synthetic_berry_32": dict(
+        spec=DecoderSpec(code_length=32, dims=(512,) * 8, latent_in=(4,), clamping_distance=0.05),
+        base_radius=0.03,
+        steps=12000,
+        batch=8192,
+        lr=3e-4,
+    ),
 }
 
 
