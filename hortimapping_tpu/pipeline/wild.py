@@ -29,7 +29,7 @@ from hortimapping_tpu.data.rays import get_render_data, render_data_to_observati
 from hortimapping_tpu.models.workspace import config_decoder, load_latent_vectors
 from hortimapping_tpu.ops.mesher import MeshExtractor
 from hortimapping_tpu.optim.lm import shape_pose_joint_opt_batched
-from hortimapping_tpu.utils.misc import set_random_seed
+from hortimapping_tpu.utils.misc import set_random_seed, trace_if_enabled
 from hortimapping_tpu.vis import color_table, make_visualizer
 
 
@@ -138,6 +138,19 @@ def run_wild_completion(cfg: Dict, log=print) -> List[FruitResult]:
     if log_on:
         log(f"loaded {len(submap_id_imgs)} frames")
 
+    # cheap resume: a manifest of already-completed submaps lets a killed run
+    # pick up where it left off (the reference re-runs everything save for
+    # begin_submap windowing, `test_wild_completion.py:96-99,138-139`)
+    manifest_path = os.path.join(out_dirs["complete"], "manifest.json")
+    done_names = set()
+    if cfg.get("resume", False) and os.path.isfile(manifest_path):
+        import json
+
+        with open(manifest_path) as f:
+            done_names = {r["name"] for r in json.load(f) if r["valid"]}
+        if log_on:
+            log(f"resume: skipping {len(done_names)} completed submaps")
+
     # ---------------- phase 1: host preprocessing, all submaps ----------------
     bg_pcd: Optional[PointCloud] = None
     prepared = []   # (name, submap_id, obs, T_ow0, clean_pcd, mean_color)
@@ -145,6 +158,8 @@ def run_wild_completion(cfg: Dict, log=print) -> List[FruitResult]:
     for submap_name in sorted(os.listdir(submap_folder)):
         submap_cat = submap_name.split("_")[1].split(".")[0]
         submap_id = int(submap_name.split("_")[0])
+        if submap_cat != "Background" and submap_name in done_names:
+            continue
         if submap_id > 1 and submap_id < cfg["begin_submap"]:
             continue
         mesh = read_mesh(os.path.join(submap_folder, submap_name))
@@ -198,15 +213,16 @@ def run_wild_completion(cfg: Dict, log=print) -> List[FruitResult]:
     lat0 = jnp.tile(jnp.asarray(init_latent)[None, :], (len(prepared), 1))
     T0 = jnp.stack([jnp.asarray(p[3], jnp.float32) for p in prepared])
     n_dev = len(jax.devices())
-    if n_dev > 1:
-        from hortimapping_tpu.parallel import fruit_mesh, shard_joint_opt
+    with trace_if_enabled("wild_joint_opt"):
+        if n_dev > 1:
+            from hortimapping_tpu.parallel import fruit_mesh, shard_joint_opt
 
-        res = shard_joint_opt(params, spec, opt_cfg, obs_b, lat0, T0,
-                              object_radius_max_m, fruit_mesh())
-    else:
-        res = shape_pose_joint_opt_batched(
-            params, spec, opt_cfg, obs_b, lat0, T0, object_radius_max_m
-        )
+            res = shard_joint_opt(params, spec, opt_cfg, obs_b, lat0, T0,
+                                  object_radius_max_m, fruit_mesh())
+        else:
+            res = shape_pose_joint_opt_batched(
+                params, spec, opt_cfg, obs_b, lat0, T0, object_radius_max_m
+            )
 
     # ---------------- phase 3: gates, batched meshing, outputs ----------------
     mesher = MeshExtractor(params, spec, voxels_dim, object_radius_max_m)
@@ -246,5 +262,23 @@ def run_wild_completion(cfg: Dict, log=print) -> List[FruitResult]:
             if log_on:
                 log(f"completed {name} in {int(iters[i])} iters")
             vis.update_mesh_pose(mesh_out, np.eye(4), 0)
+
+    # persist the per-fruit manifest (merging prior resumed entries)
+    import json
+
+    merged = {}
+    if os.path.isfile(manifest_path):
+        try:
+            with open(manifest_path) as f:
+                merged = {r["name"]: r for r in json.load(f)}
+        except (json.JSONDecodeError, OSError):
+            merged = {}
+    for r in results:
+        merged[r.name] = {
+            "name": r.name, "submap_id": r.submap_id, "valid": r.valid,
+            "reason": r.reason, "iter_count": r.iter_count,
+        }
+    with open(manifest_path, "w") as f:
+        json.dump(sorted(merged.values(), key=lambda r: r["name"]), f, indent=1)
 
     return results

@@ -117,6 +117,90 @@ def wall_mesh(wall_z: float, half: float = 0.6, center=(0.0, 0.0)) -> TriangleMe
     return TriangleMesh(v, f)
 
 
+def make_challenge_fruit(
+    out_dir: str,
+    cat: SyntheticCategory,
+    proj: np.ndarray,
+    code: np.ndarray,
+    n_frames: int = 5,
+    W: int = 160,
+    H: int = 120,
+    with_gt: bool = True,
+    seed: int = 0,
+) -> None:
+    """Write one fruit in the ECCV challenge directory layout
+    (reference `dataloader.py`): gt/pcd/fruit.ply, input/intrinsic.json
+    (column-major K), input/{masks,poses,color}/<frame>.png|txt and
+    input/depth/<frame>.npy. The fruit sits at the origin (the challenge
+    uses identity pose init, `run_shape_completion_challenge.py:207-210`)."""
+    import cv2
+
+    radii = cat.base_radius * np.exp(proj @ code)
+    fruits = [(np.eye(4), radii)]
+    wall_z = 0.5
+    K = np.array([[0.9 * W, 0, W / 2], [0, 0.9 * W, H / 2], [0, 0, 1.0]])
+
+    for sub in ["input/masks", "input/poses", "input/color", "input/depth"]:
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+    with open(os.path.join(out_dir, "input", "intrinsic.json"), "w") as f:
+        json.dump({"intrinsic_matrix": K.flatten(order="F").tolist()}, f)
+
+    rng = np.random.default_rng(seed)
+    for fi in range(n_frames):
+        ang = 2 * np.pi * fi / n_frames
+        cam_pos = np.array([0.3 * np.sin(ang), 0.1 * np.cos(2 * ang),
+                            -0.3 * abs(np.cos(ang)) - 0.05])
+        look = np.zeros(3)
+        zc = look - cam_pos
+        zc /= np.linalg.norm(zc)
+        xc = np.cross(np.array([0.0, 1.0, 0.0]), zc)
+        xc /= np.linalg.norm(xc)
+        yc = np.cross(zc, xc)
+        T_wc = np.eye(4)
+        T_wc[:3, 0], T_wc[:3, 1], T_wc[:3, 2], T_wc[:3, 3] = xc, yc, zc, cam_pos
+        depth, inst, rgb = render_frame(T_wc, K, W, H, fruits, wall_z)
+        name = f"{fi:05d}"
+        cv2.imwrite(os.path.join(out_dir, "input", "masks", name + ".png"),
+                    ((inst == 2) * 255).astype(np.uint8))
+        np.savetxt(os.path.join(out_dir, "input", "poses", name + ".txt"), T_wc)
+        cv2.imwrite(os.path.join(out_dir, "input", "color", name + ".png"),
+                    cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+        np.save(os.path.join(out_dir, "input", "depth", name + ".npy"),
+                depth.astype(np.float32))
+
+    if with_gt:
+        os.makedirs(os.path.join(out_dir, "gt", "pcd"), exist_ok=True)
+        dirs = rng.normal(size=(4000, 3))
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        from hortimapping_tpu.data.ply import write_point_cloud
+        from hortimapping_tpu.data.mesh import PointCloud
+
+        write_point_cloud(os.path.join(out_dir, "gt", "pcd", "fruit.ply"),
+                          PointCloud((dirs * radii).astype(np.float32)))
+
+
+def make_challenge_dataset(out: str, deepsdf_dir: str, split: str = "val",
+                           n_fruits: int = 2, n_frames: int = 5, seed: int = 11):
+    """Challenge-layout dataset of synthetic fruits (for tests and the
+    challenge runner without downloads)."""
+    specs = load_specs(deepsdf_dir)
+    syn = specs.get("synthetic", {})
+    from hortimapping_tpu.models.decoder import DecoderSpec
+
+    cat = SyntheticCategory(
+        spec=DecoderSpec(code_length=int(specs["CodeLength"])),
+        base_radius=float(syn.get("base_radius", 0.06)),
+    )
+    proj = cat.projection()
+    rng = np.random.default_rng(seed)
+    for k in range(n_fruits):
+        code = (rng.normal(size=cat.spec.code_length) * 0.4).astype(np.float32)
+        make_challenge_fruit(
+            os.path.join(out, split, f"fruit_{k:02d}"), cat, proj, code,
+            n_frames=n_frames, seed=seed + k,
+        )
+
+
 def main():
     import cv2
     import yaml

@@ -68,6 +68,32 @@ class Timer:
         )
 
 
+class trace_if_enabled:
+    """Context manager: capture a `jax.profiler` trace when the env var
+    `HORTI_PROFILE_DIR` is set (viewable in TensorBoard / Perfetto). The
+    reference's only tracing was wall-clock prints behind CUDA syncs
+    (`utils.py:614-619`); this is the TPU-native equivalent, off by default
+    so it never perturbs the hot path."""
+
+    def __init__(self, label: str = "horti"):
+        self.dir = os.environ.get("HORTI_PROFILE_DIR")
+        self.label = label
+
+    def __enter__(self):
+        if self.dir:
+            import jax
+
+            jax.profiler.start_trace(os.path.join(self.dir, self.label))
+        return self
+
+    def __exit__(self, *exc):
+        if self.dir:
+            import jax
+
+            jax.profiler.stop_trace()
+        return False
+
+
 def setup_wandb() -> None:
     """Cache the W&B API key in `<user>_wandb.key` and log in, exactly like
     the reference (`utils.py:622-635`). No-op (with a notice) when the

@@ -3,6 +3,7 @@ from hortimapping_tpu.vis.opt_visualizer import (
     StubVisualizer,
     color_table,
     make_visualizer,
+    text_3d,
 )
 
-__all__ = ["OptVisualizer", "StubVisualizer", "color_table", "make_visualizer"]
+__all__ = ["OptVisualizer", "StubVisualizer", "color_table", "make_visualizer", "text_3d"]

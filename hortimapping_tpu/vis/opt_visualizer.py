@@ -18,6 +18,8 @@ from typing import Callable, List, Optional
 
 import numpy as np
 
+__all__ = ["color_table", "text_3d", "StubVisualizer", "OptVisualizer", "make_visualizer"]
+
 # 10 instance colors (reference `color_table`, opt_visualizer.py:21-31)
 color_table = [
     [230.0 / 255.0, 0.0, 0.0],          # red
@@ -31,6 +33,50 @@ color_table = [
     [250.0 / 255.0, 190.0 / 255.0, 190.0 / 255.0], # pink
     [0.0, 128.0 / 255.0, 128.0 / 255.0],# teal
 ]
+
+
+def text_3d(text: str, pos, direction=None, degree: float = 90.0,
+            font: Optional[str] = None, font_size: int = 20,
+            density: int = 2):
+    """Render a text sprite as a colored point cloud in 3-D space
+    (reference `text_3d`, `opt_visualizer.py:33-74`) — used for the
+    iteration counter overlay. Returns a host `PointCloud`; the Open3D
+    visualizer converts it like any scan."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    from hortimapping_tpu.data.mesh import PointCloud
+
+    try:
+        f = ImageFont.truetype(font, font_size) if font else ImageFont.load_default()
+    except OSError:
+        f = ImageFont.load_default()
+    bbox = ImageDraw.Draw(Image.new("L", (1, 1))).textbbox((0, 0), text, font=f)
+    w, h = bbox[2] - bbox[0], bbox[3] - bbox[1]
+    img = Image.new("L", (max(w, 1), max(h, 1)), 0)
+    ImageDraw.Draw(img).text((-bbox[0], -bbox[1]), text, fill=255, font=f)
+    arr = np.asarray(img)
+    ys, xs = np.nonzero(arr > 128)
+    if xs.size == 0:
+        return PointCloud(np.zeros((0, 3), np.float32))
+    scale = 1e-3 / density
+    pts = np.stack([xs * scale, -ys * scale, np.zeros_like(xs, float)], axis=-1)
+    # orient: rotate about x by `degree`, then align z with `direction`
+    rad = np.deg2rad(degree)
+    Rx = np.array([[1, 0, 0], [0, np.cos(rad), -np.sin(rad)], [0, np.sin(rad), np.cos(rad)]])
+    pts = pts @ Rx.T
+    if direction is not None:
+        d = np.asarray(direction, float)
+        d = d / np.linalg.norm(d)
+        z = np.array([0.0, 0.0, 1.0])
+        v = np.cross(z, d)
+        c = float(z @ d)
+        if np.linalg.norm(v) > 1e-9:
+            vx = np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+            R = np.eye(3) + vx + vx @ vx / (1.0 + c)
+            pts = pts @ R.T
+    pts = pts + np.asarray(pos, float)
+    return PointCloud(pts.astype(np.float32),
+                      np.tile([[1.0, 1.0, 1.0]], (pts.shape[0], 1)))
 
 
 def _have_open3d() -> bool:

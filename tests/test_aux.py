@@ -1,0 +1,107 @@
+"""Aux subsystems: config dicts, seeding, timers, text sprites, KITTI utils."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from hortimapping_tpu.config import ForceKeyErrorDict, JointOptConfig, get_configs
+from hortimapping_tpu.utils.misc import Timer, get_time, set_random_seed
+from hortimapping_tpu.vis import StubVisualizer, color_table, make_visualizer, text_3d
+
+
+def test_force_key_error_dict():
+    d = ForceKeyErrorDict({"a": 1})
+    assert d.a == 1
+    with pytest.raises(KeyError):
+        d["missing"]
+    with pytest.raises(AttributeError):
+        d.missing
+
+
+def test_get_configs_json(tmp_path):
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({"opt": {"lr": 0.1}, "name": "x"}))
+    cfg = get_configs(str(p))
+    assert cfg.opt.lr == 0.1
+    assert cfg["name"] == "x"
+
+
+def test_joint_opt_config_from_reference_yaml():
+    import yaml
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    for name in ["wild_pepper", "cka_pepper", "lab_pepper", "lab_berry",
+                 "shape_completion_challenge_pepper"]:
+        with open(os.path.join(root, name + ".yaml")) as f:
+            cfg = yaml.safe_load(f)
+        oc = JointOptConfig.from_dict(cfg)
+        assert oc.max_iter in (20, 50)
+        assert oc.n_rays == cfg["opt"]["render"]["n_fg_pix"] + cfg["opt"]["render"]["n_bg_pix"]
+        assert oc.w_depth == float(cfg["opt"]["weight"]["w_depth"])
+    # wild pepper specifics (reference values)
+    with open(os.path.join(root, "wild_pepper.yaml")) as f:
+        wc = JointOptConfig.from_dict(yaml.safe_load(f))
+    assert wc.scale_on and wc.pose_dim == 7
+    assert wc.lm_lambda_0 == 0.1 and wc.robust_iter == 5
+
+
+def test_seeding_reproducible():
+    set_random_seed(42)
+    a = np.random.rand(5)
+    set_random_seed(42)
+    b = np.random.rand(5)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_timer():
+    t = Timer()
+    t.start("phase1")
+    dt = t.stop()
+    assert dt >= 0 and "phase1" in t.summary()
+    assert get_time() > 0
+
+
+def test_stub_visualizer_interface():
+    vis = make_visualizer(False)
+    assert isinstance(vis, StubVisualizer)
+    vis.add_scan(None)
+    vis.update_mesh_pose(None, np.eye(4), 0)
+    assert vis.stop() is False
+    assert len(color_table) == 10
+
+
+def test_text_3d_sprite():
+    pcd = text_3d("42", pos=[0.1, 0.2, 0.3])
+    assert len(pcd) > 10
+    # sprite sits near the anchor position
+    assert np.linalg.norm(np.mean(pcd.points, axis=0) - [0.1, 0.2, 0.3]) < 0.1
+
+
+def test_kitti_helpers(tmp_path):
+    from hortimapping_tpu.data.kitti import read_calib_file, read_velodyne_bin
+
+    calib = tmp_path / "calib.txt"
+    calib.write_text("P0: " + " ".join(["1.0"] * 12) + "\nTr: " + " ".join(["2.0"] * 12) + "\n")
+    c = read_calib_file(str(calib))
+    assert c["P0"].shape == (3, 4) and c["Tr"][0, 0] == 2.0
+
+    scan = np.arange(16, dtype=np.float32)
+    binf = tmp_path / "scan.bin"
+    scan.tofile(str(binf))
+    pcd = read_velodyne_bin(str(binf))
+    assert pcd.points.shape == (4, 3)
+
+
+def test_wild_manifest_roundtrip(tmp_path):
+    """FruitResult manifest entries merge across runs (resume support)."""
+    from hortimapping_tpu.pipeline.wild import FruitResult
+
+    r = FruitResult("00002_Sweetpepper.ply", 2, np.eye(4), np.zeros(8), 12, True)
+    entry = {"name": r.name, "submap_id": r.submap_id, "valid": r.valid,
+             "reason": r.reason, "iter_count": r.iter_count}
+    p = tmp_path / "manifest.json"
+    p.write_text(json.dumps([entry]))
+    loaded = json.loads(p.read_text())
+    assert loaded[0]["valid"] and loaded[0]["iter_count"] == 12
