@@ -109,6 +109,8 @@ class JointOptConfig:
     #   use_pallas: None = auto (on when running on real TPU hardware —
     #   interpreter-mode kernels would only slow down CPU runs/tests)
     jac_cap: int = 0
+    fwd_cap: int = -1   # default dense: measured net-negative on v5e (gather
+                        # + nonzero overhead exceeds the decode savings)
     fwd_bf16: bool = False
     use_pallas: Optional[bool] = None
 
@@ -129,6 +131,17 @@ class JointOptConfig:
             # covers the band with margin while cutting the decoder VJP cost
             return (2 * self.n_rays * self.n_sample_on_ray) // 5
         return self.jac_cap
+
+    @property
+    def fwd_cap_resolved(self) -> int:
+        if self.fwd_cap == -1:
+            return 0  # dense
+        if self.fwd_cap == 0:
+            # auto: 55% of the grid — measured in-radius fraction is ~41%
+            # on the wild-pepper workload; overflow degrades gracefully
+            # (dropped samples are treated as out-of-radius)
+            return (11 * self.n_rays * self.n_sample_on_ray) // 20
+        return self.fwd_cap
 
     @property
     def pose_dim(self) -> int:
@@ -187,6 +200,7 @@ class JointOptConfig:
             outlier_scale_max=float(out.get("scale_max", d.outlier_scale_max)),
             outlier_rot_max_deg=float(out.get("rot_max_deg", d.outlier_rot_max_deg)),
             jac_cap=int(tpu.get("jac_cap", d.jac_cap)),
+            fwd_cap=int(tpu.get("fwd_cap", d.fwd_cap)),
             fwd_bf16=bool(tpu.get("fwd_bf16", d.fwd_bf16)),
             use_pallas=tpu.get("use_pallas", d.use_pallas),
         )

@@ -140,6 +140,25 @@ def points_to_pose_jacobian_sim3(points: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([eye, -skew(points), points[..., None]], axis=-1)
 
 
+def sim3_inverse(T: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of a Sim(3) matrix [[sR, t], [0, 1]].
+
+    (sR)^{-1} = R^T / s = (sR)^T / s^2 with s^2 = |first row of sR|^2 —
+    three dot products instead of a 4x4 LU factorization (TPU LU on tiny
+    matrices serializes badly; the reference calls `torch.inverse` per frame,
+    `optimizer.py:105`)."""
+    A = T[..., :3, :3]
+    t = T[..., :3, 3]
+    s2 = jnp.sum(A[..., 0, :] * A[..., 0, :], axis=-1)[..., None, None]
+    A_inv = jnp.swapaxes(A, -1, -2) / s2
+    t_inv = -jnp.einsum("...ij,...j->...i", A_inv, t)
+    out = jnp.zeros_like(T)
+    out = out.at[..., :3, :3].set(A_inv)
+    out = out.at[..., :3, 3].set(t_inv)
+    out = out.at[..., 3, 3].set(1.0)
+    return out
+
+
 def rotation_matrix_to_angle(R: jnp.ndarray) -> jnp.ndarray:
     """Rotation angle (rad) from a 3x3 rotation: acos((tr - 1)/2).
 

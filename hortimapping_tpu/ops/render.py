@@ -89,6 +89,7 @@ class RenderConfig:
     min_valid_sample: int = 100     # frame invalid below this many in-radius samples
     min_grad_th: float = 1e-6       # de/do cutoff (`loss.py:111`)
     jac_cap: int = 0                # 0 = dense Jacobians; > 0 = compacted budget
+    fwd_cap: int = 0                # 0 = dense forward; > 0 = in-radius budget
     fwd_bf16: bool = False          # bf16 forward pass
     use_pallas: bool = False        # fused Pallas MLP kernels
 
@@ -142,7 +143,19 @@ def render_residuals(
         pk_grad = pallas_mlp.pack_params(params, spec, jnp.float32)
         pps = pallas_mlp.packed_spec(spec)
     if cfg.jac_cap > 0:
-        sdf = decoder_sdf(params, spec, latent, pts_obj, fwd_dtype)     # [R, M]
+        if cfg.fwd_cap > 0:
+            # decode only in-radius samples (out-of-radius occupancy and
+            # band membership are masked by `valid` regardless of sdf, so
+            # the fill value never contributes — reference culls these
+            # samples outright, loss.py:38-45)
+            K1 = min(cfg.fwd_cap, R * M)
+            (sel1,) = jnp.nonzero(valid.reshape(-1), size=K1, fill_value=R * M)
+            in1 = jnp.minimum(sel1, R * M - 1)
+            pts1 = pts_obj.reshape(-1, 3)[in1]
+            sdf1 = decoder_sdf(params, spec, latent, pts1, fwd_dtype)   # [K1]
+            sdf = jnp.full((R * M,), 1.0, f32).at[in1].set(sdf1).reshape(R, M)
+        else:
+            sdf = decoder_sdf(params, spec, latent, pts_obj, fwd_dtype)  # [R, M]
         dsdf_din = None  # Jacobians come from the compacted pass below
     else:
         lat = jnp.broadcast_to(latent, (R, M) + latent.shape)

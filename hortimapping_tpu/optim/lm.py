@@ -46,6 +46,7 @@ def _render_config(cfg: JointOptConfig) -> RenderConfig:
         occ_cutoff=cfg.occ_cutoff_m,
         occlusion_on=cfg.occlusion_on,
         jac_cap=cfg.jac_cap_resolved,
+        fwd_cap=cfg.fwd_cap_resolved,
         fwd_bf16=cfg.fwd_bf16,
         use_pallas=cfg.pallas_resolved(),
     )
@@ -102,6 +103,11 @@ def lm_iteration(
     is_fg = jnp.arange(R) < n_fg
 
     def per_frame(T_wc, rays, ray_valid, depth_obs, frame_valid) -> RenderResiduals:
+        # NOTE: the exact inverse (not the closed-form Sim(3) transpose) is
+        # deliberate — LM updates drift T_ow slightly off the Sim(3)
+        # manifold, and the reference inverts the drifted matrix exactly
+        # (`optimizer.py:105`); the ~4 ms/iter saving is not worth the
+        # trajectory divergence
         T_oc = T_ow @ T_wc                                    # optimizer.py:104
         T_co = jnp.linalg.inv(T_oc)
         depth_range = cube_radius * cur_scale                 # optimizer.py:107

@@ -201,6 +201,115 @@ def make_challenge_dataset(out: str, deepsdf_dir: str, split: str = "val",
         )
 
 
+def make_lab_dataset(out: str, deepsdf_dir: str, n_fruits: int = 2,
+                     n_frames: int = 6, W: int = 160, H: int = 120,
+                     seed: int = 5):
+    """IGG-lab layout dataset of synthetic fruits (for the lab eval drivers
+    without downloads). Per fruit dir (reference eval_lab_*_frame(s).py):
+        realsense/{color,depth,masks}/<frame>.{png,npy,png}
+        realsense/intrinsic.json   (column-major K, depth_scale, h, w)
+        realsense/scene/integrated.ply
+        tf/tf_allposes.npz         (per-frame T_gc = camera pose in GT frame)
+        tf/bounding_box.npz        (crop box, world frame)
+        laser/fruit.ply            (GT cloud, fruit frame)
+    plus a split.json listing every fruit under "test".
+
+    Geometry convention: the fruit sits at the origin of its GT frame "g";
+    frame i's camera pose in g is tfs[i]; the single-frame driver converts
+    observations to its world via the fixed T_cw, and the multi-frame driver
+    uses tfs directly as T_wc — both are consistent with depth images
+    rendered from tfs[i].
+    """
+    import cv2
+
+    specs = load_specs(deepsdf_dir)
+    syn = specs.get("synthetic", {})
+    from hortimapping_tpu.models.decoder import DecoderSpec
+    from hortimapping_tpu.data.ply import write_point_cloud
+    from hortimapping_tpu.data.mesh import PointCloud
+
+    cat = SyntheticCategory(
+        spec=DecoderSpec(code_length=int(specs["CodeLength"])),
+        base_radius=float(syn.get("base_radius", 0.06)),
+    )
+    proj = cat.projection()
+    rng = np.random.default_rng(seed)
+    depth_scale = 1000.0  # depth npys stored in mm like RealSense exports
+    K = np.array([[0.9 * W, 0, W / 2], [0, 0.9 * W, H / 2], [0, 0, 1.0]])
+    wall_z = 0.6
+
+    fruit_ids = []
+    for k in range(n_fruits):
+        fid = f"fruit_{k:02d}"
+        fruit_ids.append(fid)
+        base = os.path.join(out, fid)
+        rgbd = os.path.join(base, "realsense")
+        for sub in ["color", "depth", "masks", "scene"]:
+            os.makedirs(os.path.join(rgbd, sub), exist_ok=True)
+        os.makedirs(os.path.join(base, "tf"), exist_ok=True)
+        os.makedirs(os.path.join(base, "laser"), exist_ok=True)
+
+        code = (rng.normal(size=cat.spec.code_length) * 0.4).astype(np.float32)
+        radii = cat.base_radius * np.exp(proj @ code)
+        fruits = [(np.eye(4), radii)]  # fruit at origin of g
+
+        with open(os.path.join(rgbd, "intrinsic.json"), "w") as f:
+            json.dump({"intrinsic_matrix": K.flatten(order="F").tolist(),
+                       "height": H, "width": W, "depth_scale": depth_scale}, f)
+
+        tfs = []
+        all_pts = []
+        for fi in range(n_frames):
+            ang = 2 * np.pi * fi / n_frames
+            cam_pos = np.array([0.3 * np.sin(ang), 0.08 * np.cos(ang),
+                                -0.3 * abs(np.cos(ang)) - 0.08])
+            zc = -cam_pos / np.linalg.norm(cam_pos)
+            xc = np.cross(np.array([0.0, 1.0, 0.0]), zc)
+            xc /= np.linalg.norm(xc)
+            yc = np.cross(zc, xc)
+            T_gc = np.eye(4)
+            T_gc[:3, 0], T_gc[:3, 1], T_gc[:3, 2], T_gc[:3, 3] = xc, yc, zc, cam_pos
+            tfs.append(T_gc)
+            depth, inst, rgb = render_frame(T_gc, K, W, H, fruits, wall_z)
+            name = f"{fi + 1:05d}"  # 1-based like the RealSense exports
+            cv2.imwrite(os.path.join(rgbd, "masks", name + ".png"),
+                        ((inst == 2) * 255).astype(np.uint8))
+            cv2.imwrite(os.path.join(rgbd, "color", name + ".png"),
+                        cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+            np.save(os.path.join(rgbd, "depth", name + ".npy"),
+                    (depth * depth_scale).astype(np.float32))
+            # accumulate fruit surface points (g frame) for the map
+            hit = inst.reshape(-1) == 2
+            if hit.any():
+                u, v = np.meshgrid(np.arange(W), np.arange(H))
+                z = depth.reshape(-1)[hit]
+                uu, vv = u.reshape(-1)[hit], v.reshape(-1)[hit]
+                x = (uu - K[0, 2]) * z / K[0, 0]
+                y = (vv - K[1, 2]) * z / K[1, 1]
+                p_c = np.stack([x, y, z], -1)
+                all_pts.append(p_c @ T_gc[:3, :3].T + T_gc[:3, 3])
+
+        np.savez(os.path.join(base, "tf", "tf_allposes.npz"), np.stack(tfs))
+        # the multi-frame driver treats tfs as T_wc directly, so the "world"
+        # of the map equals g; scene map stored in m with T_wm = tfs[0]
+        map_g = np.concatenate(all_pts)
+        T_mw = np.linalg.inv(tfs[0])
+        map_m = map_g @ T_mw[:3, :3].T + T_mw[:3, 3]
+        write_point_cloud(os.path.join(rgbd, "scene", "integrated.ply"),
+                          PointCloud(map_m.astype(np.float32)))
+        r = float(np.max(radii)) * 1.4
+        np.savez(os.path.join(base, "tf", "bounding_box.npz"),
+                 np.array([[-r, -r, -r], [r, r, r]]))
+
+        dirs = rng.normal(size=(3000, 3))
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        write_point_cloud(os.path.join(base, "laser", "fruit.ply"),
+                          PointCloud((dirs * radii).astype(np.float32)))
+
+    with open(os.path.join(out, "split.json"), "w") as f:
+        json.dump({"train": [], "test": fruit_ids}, f)
+
+
 def main():
     import cv2
     import yaml

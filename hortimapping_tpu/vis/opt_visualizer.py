@@ -317,6 +317,20 @@ class OptVisualizer(StubVisualizer):
         sys.exit(0)
 
 
+def set_view(vis, zoom: float = 0.6, front=(0.0, 0.0, -1.0),
+             lookat=(0.0, 0.0, 0.5), up=(0.0, -1.0, 0.0)) -> None:
+    """Set the Open3D view-control camera (reference `set_view`,
+    `wild_completion/utils.py:482-497`). No-op on a StubVisualizer."""
+    ctl = getattr(getattr(vis, "vis", None), "get_view_control", None)
+    if ctl is None:
+        return
+    vc = ctl()
+    vc.set_zoom(zoom)
+    vc.set_front(list(front))
+    vc.set_lookat(list(lookat))
+    vc.set_up(list(up))
+
+
 def make_visualizer(vis_on: bool, frame_axis_len: float = 0.1,
                     pause_time_s: float = 1e-2) -> StubVisualizer:
     """`vis_on and open3d available` -> OptVisualizer, else StubVisualizer."""
