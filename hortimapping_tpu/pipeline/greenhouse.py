@@ -114,7 +114,9 @@ def run_greenhouse_eval(cfg: Dict, multi_frame: bool, log=print) -> Dict:
     # (label, obs, T_ow0, T_wg, gt_points_w, gt_count, result_dir)
     prepared = []
     for data_dir in data_dirs:
-        input_base = os.path.join(data_dir, "before") if multi_frame else data_dir
+        # both modes read the "before" capture sequence
+        # (`eval_wild_single_frame.py:81`, `eval_wild_multi_frames.py:95`)
+        input_base = os.path.join(data_dir, "before")
         rgbd_base = os.path.join(input_base, "realsense")
         K, img_size, depth_scale = _load_intrinsics(rgbd_base)
         invK = np.linalg.inv(K)

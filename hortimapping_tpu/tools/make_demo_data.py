@@ -310,6 +310,147 @@ def make_lab_dataset(out: str, deepsdf_dir: str, n_fruits: int = 2,
         json.dump({"train": [], "test": fruit_ids}, f)
 
 
+def make_greenhouse_dataset(out: str, deepsdf_dir: str, n_fruits: int = 2,
+                            n_frames: int = 6, W: int = 160, H: int = 120,
+                            seed: int = 9):
+    """CKA greenhouse layout dataset (for the eval_wild_* drivers without
+    downloads). Layout (reference eval_wild_{single_frame,multi_frames}.py):
+        before/realsense/{color,depth,submap_ids}/...
+        before/realsense/intrinsic.json
+        before/rostf_poses_no_jump.npz, rostf_poses_metashape_aligned.npz
+        before/metashape/scaled_poses.npz
+        before/submaps/00001_Background.ply, 000NN_Sweetpepper.ply
+        fruits_measured/info.json
+        fruits_measured/<fruit>/tf/{tf_allposes.npz, tf.npz, bounding_box.npz}
+        fruits_measured/<fruit>/laser/fruit_clean.ply
+
+    Geometry: one world frame w; fruit k sits at T_wg_k; cameras sweep in w
+    (cam_tfs = T_wc). For the single-frame driver, tfs_cam must satisfy
+    T_wg = T_wc_FIXED @ inv(tfs_cam[i]) with T_wc_FIXED = inv(T_CW_SINGLE),
+    so tfs_cam[i] = T_gw @ T_wc_FIXED... the driver renders its own clouds
+    from the depth images, so consistency only requires tfs_cam[i] =
+    inv(T_wg) @ T_wc_single_frame_convention. Here the metashape frame m is
+    chosen so that T_wm = I (ros_tfs[0] = T_BC, metashape_poses[0] = I).
+    """
+    import cv2
+
+    specs = load_specs(deepsdf_dir)
+    syn = specs.get("synthetic", {})
+    from hortimapping_tpu.models.decoder import DecoderSpec
+    from hortimapping_tpu.data.mesh import PointCloud
+    from hortimapping_tpu.data.ply import write_point_cloud
+
+    cat = SyntheticCategory(
+        spec=DecoderSpec(code_length=int(specs["CodeLength"])),
+        base_radius=float(syn.get("base_radius", 0.06)),
+    )
+    proj = cat.projection()
+    rng = np.random.default_rng(seed)
+    depth_scale = 1000.0
+    K = np.array([[0.9 * W, 0, W / 2], [0, 0.9 * W, H / 2], [0, 0, 1.0]])
+    wall_z = 0.8
+
+    base = os.path.join(out, "before")
+    rgbd = os.path.join(base, "realsense")
+    for sub in ["color", "depth", "submap_ids"]:
+        os.makedirs(os.path.join(rgbd, sub), exist_ok=True)
+    os.makedirs(os.path.join(base, "metashape"), exist_ok=True)
+    submap_dir = os.path.join(base, "submaps")
+    os.makedirs(submap_dir, exist_ok=True)
+    gt_base = os.path.join(out, "fruits_measured")
+
+    with open(os.path.join(rgbd, "intrinsic.json"), "w") as f:
+        json.dump({"intrinsic_matrix": K.flatten(order="F").tolist(),
+                   "height": H, "width": W, "depth_scale": depth_scale}, f)
+
+    # fruits in world frame
+    fruits, T_wgs, codes = [], [], []
+    for k in range(n_fruits):
+        code = (rng.normal(size=cat.spec.code_length) * 0.4).astype(np.float32)
+        radii = cat.base_radius * np.exp(proj @ code)
+        T_wg = np.eye(4)
+        T_wg[:3, 3] = [0.15 * (k - (n_fruits - 1) / 2),
+                       rng.uniform(-0.03, 0.03), 0.6]
+        fruits.append((np.linalg.inv(T_wg), radii))
+        T_wgs.append(T_wg)
+        codes.append(code)
+
+    # camera sweep in world frame
+    cam_tfs = []
+    for fi in range(n_frames):
+        t = fi / max(n_frames - 1, 1)
+        cam_pos = np.array([-0.2 + 0.4 * t, 0.02 * np.sin(6 * t), 0.1])
+        look = np.array([cam_pos[0] * 0.5, 0.0, 0.6])
+        zc = look - cam_pos
+        zc /= np.linalg.norm(zc)
+        xc = np.cross(np.array([0.0, 1.0, 0.0]), zc)
+        xc /= np.linalg.norm(xc)
+        yc = np.cross(zc, xc)
+        T_wc = np.eye(4)
+        T_wc[:3, 0], T_wc[:3, 1], T_wc[:3, 2], T_wc[:3, 3] = xc, yc, zc, cam_pos
+        cam_tfs.append(T_wc)
+
+        depth, inst, rgb = render_frame(T_wc, K, W, H, fruits, wall_z)
+        # instance ids: fruit k -> submap id k+2 (wall=1 -> 0 in submap_ids)
+        sid = np.where(inst >= 2, inst, 0).astype(np.uint8)
+        name = f"{fi:05d}"
+        cv2.imwrite(os.path.join(rgbd, "color", name + ".png"),
+                    cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+        np.save(os.path.join(rgbd, "depth", name + ".npy"),
+                (depth * depth_scale).astype(np.float32))
+        cv2.imwrite(os.path.join(rgbd, "submap_ids", name + "_submap_id.png"), sid)
+
+    cam_tfs = np.stack(cam_tfs)
+    np.savez(os.path.join(base, "rostf_poses_metashape_aligned.npz"), cam_tfs)
+    # T_wm = (inv(ros_tfs[0]) @ T_BC) @ inv(metashape_poses[0]) = I:
+    from hortimapping_tpu.pipeline.greenhouse import T_BC, T_CW_SINGLE
+
+    ros = np.tile(T_BC[None], (n_frames, 1, 1))
+    np.savez(os.path.join(base, "rostf_poses_no_jump.npz"), ros)
+    np.savez(os.path.join(base, "metashape", "scaled_poses.npz"),
+             np.tile(np.eye(4)[None], (n_frames, 1, 1)))
+
+    # submap meshes (world frame) + background wall
+    write_mesh(os.path.join(submap_dir, "00001_Background.ply"),
+               wall_mesh(wall_z, half=0.8))
+    info = {}
+    T_wc_single = np.linalg.inv(T_CW_SINGLE)
+    for k, (T_wg, code) in enumerate(zip(T_wgs, codes)):
+        radii = cat.base_radius * np.exp(proj @ code)
+        sid = k + 2
+        mesh = partial_fruit_mesh(T_wg, radii, keep_dir_w=np.array([0.0, 0.0, -1.0]))
+        write_mesh(os.path.join(submap_dir, f"{sid:05d}_Sweetpepper.ply"), mesh)
+
+        fid = f"fruit_{k:02d}"
+        fdir = os.path.join(gt_base, fid)
+        os.makedirs(os.path.join(fdir, "tf"), exist_ok=True)
+        os.makedirs(os.path.join(fdir, "laser"), exist_ok=True)
+        info[fid] = {"submap_id": sid, "begin_frame": 0, "end_frame": n_frames}
+        # tfs_cam[i] = T_gc = camera pose in the GT-fruit frame: the
+        # single-frame driver then recovers the fruit pose in ITS world as
+        # T_wg = T_wc_single @ inv(T_gc), consistent with back-projecting
+        # the rendered depth through the fixed extrinsic
+        tfs_cam = np.stack(
+            [np.linalg.inv(T_wg) @ cam_tfs[i] for i in range(n_frames)]
+        )
+        np.savez(os.path.join(fdir, "tf", "tf_allposes.npz"), tfs_cam)
+        # multi-frame: T_wg = T_wm @ T_mg with T_wm = I -> T_mg = T_wg
+        np.savez(os.path.join(fdir, "tf", "tf.npz"), T_wg)
+        r = float(np.max(radii)) * 1.4
+        np.savez(os.path.join(fdir, "tf", "bounding_box.npz"),
+                 np.array([[-r, -r, -r], [r, r, r]]))
+        dirs = rng.normal(size=(3000, 3))
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        write_point_cloud(os.path.join(fdir, "laser", "fruit_clean.ply"),
+                          PointCloud((dirs * radii).astype(np.float32)))
+
+    os.makedirs(gt_base, exist_ok=True)
+    with open(os.path.join(gt_base, "info.json"), "w") as f:
+        json.dump(info, f)
+    with open(os.path.join(gt_base, "info_usable.json"), "w") as f:
+        json.dump(info, f)
+
+
 def main():
     import cv2
     import yaml
