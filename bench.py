@@ -73,6 +73,9 @@ def main():
     mesher = MeshExtractor(params, spec, voxels_dim=voxels_dim, cube_radius=cube_radius)
 
     def run():
+        # NOTE: optim.lm.staged_joint_opt can cut the tail when convergence
+        # iteration counts spread; on this workload ~half the lanes run to
+        # max_iter, so the single-stage solve is faster end to end
         res = shape_pose_joint_opt_batched(
             params, spec, cfg, obs, lat0, T0, cube_radius
         )

@@ -157,6 +157,56 @@ def load_native_checkpoint(path: str) -> Tuple[Params, DecoderSpec]:
     return params, spec
 
 
+def save_orbax_checkpoint(
+    experiment_directory: str,
+    checkpoint: str,
+    params: Params,
+    spec: DecoderSpec,
+    latent_codes: Optional[np.ndarray] = None,
+) -> str:
+    """Write an Orbax checkpoint (`<dir>/orbax/<checkpoint>/`) — the
+    ecosystem-standard format for sharded/async TPU checkpointing; the
+    `.npz` native format stays the default for small single-host decoders."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(experiment_directory, "orbax", checkpoint))
+    tree = {
+        "params": {k: {kk: np.asarray(vv) for kk, vv in v.items()} for k, v in params.items()},
+        "spec": {
+            "code_length": np.int32(spec.code_length),
+            "dims": np.asarray(spec.dims, np.int32),
+            "latent_in": np.asarray(spec.latent_in, np.int32),
+            "clamping_distance": np.float64(spec.clamping_distance),
+        },
+    }
+    if latent_codes is not None:
+        tree["latent_codes"] = np.asarray(latent_codes, np.float32)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_orbax_checkpoint(path: str) -> Tuple[Params, DecoderSpec, Optional[jnp.ndarray]]:
+    """Load an Orbax checkpoint written by `save_orbax_checkpoint`."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    tree = ckptr.restore(os.path.abspath(path))
+    spec = DecoderSpec(
+        code_length=int(tree["spec"]["code_length"]),
+        dims=tuple(int(d) for d in tree["spec"]["dims"]),
+        latent_in=tuple(int(i) for i in tree["spec"]["latent_in"]),
+        clamping_distance=float(tree["spec"]["clamping_distance"]),
+    )
+    params: Params = {
+        k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
+        for k, v in tree["params"].items()
+    }
+    codes = tree.get("latent_codes")
+    return params, spec, (jnp.asarray(codes) if codes is not None else None)
+
+
 def config_decoder(
     experiment_directory: str, checkpoint: str = "latest"
 ) -> Tuple[Params, DecoderSpec]:

@@ -36,8 +36,9 @@ class OptState(NamedTuple):
     T_ow: jnp.ndarray          # [4, 4] world -> object (Sim(3))
     i: jnp.ndarray             # [] int32 next iteration index
     iter_count: jnp.ndarray    # [] int32 completed iterations (reference semantics)
-    done: jnp.ndarray          # [] bool convergence reached
+    done: jnp.ndarray          # [] bool lane finished (converged | max-iter | failed)
     failed: jnp.ndarray        # [] bool no valid observations ("submap not valid")
+    converged: jnp.ndarray     # [] bool a convergence TEST fired (vs max-iter cutoff)
 
 
 class OptResult(NamedTuple):
@@ -45,14 +46,16 @@ class OptResult(NamedTuple):
     T_ow: jnp.ndarray
     iter_count: jnp.ndarray
     failed: jnp.ndarray
+    converged: jnp.ndarray
 
 
-def init_state(latent: jnp.ndarray, T_ow: jnp.ndarray) -> OptState:
+def init_state(latent: jnp.ndarray, T_ow: jnp.ndarray, i0: int = 0) -> OptState:
     return OptState(
         latent=latent,
         T_ow=T_ow,
-        i=jnp.int32(0),
-        iter_count=jnp.int32(0),
+        i=jnp.int32(i0),
+        iter_count=jnp.int32(i0),
         done=jnp.asarray(False),
         failed=jnp.asarray(False),
+        converged=jnp.asarray(False),
     )

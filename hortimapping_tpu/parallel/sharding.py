@@ -124,7 +124,7 @@ def shard_joint_opt(
         jax.shard_map,
         mesh=mesh,
         in_specs=(repl, obs_specs, fruit, fruit),
-        out_specs=OptResult(fruit, fruit, fruit, fruit),
+        out_specs=OptResult(fruit, fruit, fruit, fruit, fruit),
         check_vma=False,
     )
     def _run(params_, obs_, lat0_, T0_):
@@ -142,4 +142,4 @@ def shard_joint_opt(
         ),
     )
     res = _run(jax.device_put(params, NamedSharding(mesh, repl)), *sharded)
-    return OptResult(res.latent[:B], res.T_ow[:B], res.iter_count[:B], res.failed[:B])
+    return jax.tree_util.tree_map(lambda a: a[:B], res)

@@ -152,3 +152,30 @@ def test_latent_vectors_torch_formats(small_spec):
                    os.path.join(d, "LatentCodes", "emb.pth"))
         got2 = workspace.load_latent_vectors(d, "emb")
         np.testing.assert_allclose(np.asarray(got2), codes, atol=0)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, small_spec):
+    """Orbax save/restore preserves params, spec, and latent codes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hortimapping_tpu.models.decoder import decoder_sdf, init_decoder_params
+    from hortimapping_tpu.models.workspace import (
+        load_orbax_checkpoint,
+        save_orbax_checkpoint,
+    )
+
+    params = init_decoder_params(small_spec, jax.random.PRNGKey(7))
+    codes = np.random.default_rng(0).normal(size=(5, small_spec.code_length)).astype(np.float32)
+    path = save_orbax_checkpoint(str(tmp_path), "latest", params, small_spec, codes)
+    p2, spec2, codes2 = load_orbax_checkpoint(path)
+    assert spec2 == small_spec
+    np.testing.assert_array_equal(np.asarray(codes2), codes)
+    xyz = jnp.asarray(np.random.default_rng(1).normal(size=(50, 3)) * 0.05, jnp.float32)
+    lat = jnp.zeros((small_spec.code_length,))
+    np.testing.assert_allclose(
+        np.asarray(decoder_sdf(p2, spec2, lat, xyz)),
+        np.asarray(decoder_sdf(params, small_spec, lat, xyz)),
+        atol=1e-7,
+    )

@@ -103,3 +103,24 @@ def test_shard_with_padding():
     assert res.latent.shape == (5, spec.code_length)
     assert res.T_ow.shape == (5, 4, 4)
     assert not bool(jnp.any(res.failed))
+
+
+def test_staged_matches_single_stage():
+    """Staged solve: identical per-lane results for lanes that converge in
+    stage 1, identical continuation math for the rest."""
+    from hortimapping_tpu.optim.lm import staged_joint_opt
+
+    params, spec = _world()
+    obs, lat, T = _batch(spec, 6)
+    cfg = JointOptConfig(
+        n_fg_pix=32, n_bg_pix=32, n_frame=2, n_sample_on_ray=16,
+        recon_n_pts=64, max_iter=8, lm_lambda_0=0.5,
+    )
+    ref = shape_pose_joint_opt_batched(params, spec, cfg, obs, lat, T, cube_radius=0.1)
+    res = staged_joint_opt(params, spec, cfg, obs, lat, T, cube_radius=0.1,
+                           stage1_iters=4)
+    np.testing.assert_allclose(np.asarray(res.latent), np.asarray(ref.latent), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(res.T_ow), np.asarray(ref.T_ow), atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(res.failed), np.asarray(ref.failed))
+    # iteration counts match (modulo knife-edge convergence flips, none here)
+    np.testing.assert_array_equal(np.asarray(res.iter_count), np.asarray(ref.iter_count))
