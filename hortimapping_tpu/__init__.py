@@ -13,15 +13,20 @@ Robots") for TPU hardware:
     scale-out is data parallelism over fruits via `shard_map`.
 
 Layout:
-  models/    DeepSDF decoder, checkpoint workspace + torch->pytree converter
-  ops/       Lie groups, SDF queries + input Jacobians, render/recon residual
-             kernels, robust kernels, rays, chamfer, marching cubes, sampling
-  optim/     fused LM engine (single fruit and vmapped fruit batches)
-  data/      render-data construction, dataset loaders, preprocessing, PLY I/O
+  models/    DeepSDF decoder, checkpoint workspace (torch->npz converter, Orbax)
+  ops/       Lie groups, SDF<->occupancy, render/recon residual kernels, robust
+             kernels, Pallas fused MLP kernels, mesh extraction
+  optim/     fused LM engine (single fruit, vmapped batch, staged, baseline)
+  data/      ray sampling, RGB-D back-projection, dataset loaders,
+             preprocessing + pose init, PLY I/O, KITTI helpers
   metrics/   Chamfer distance / precision-recall (reference: metrics_3d/)
+  pipeline/  end-to-end drivers behind the public entry points
   parallel/  device-mesh helpers, shard_map fruit-parallel execution
-  native/    C++ runtime kernels (marching cubes, DBSCAN, NN search) via ctypes
+  native/    C++ runtime kernels (marching tetrahedra, DBSCAN, NN) via ctypes
   vis/       optional host-side visualizer (stub unless open3d present)
+  tools/     synthetic world, decoder training, offline dataset generators
+
+See docs/COMPONENT_MAP.md for the line-by-line reference-to-here mapping.
 """
 
 __version__ = "0.1.0"
