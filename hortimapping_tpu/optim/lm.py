@@ -121,9 +121,10 @@ def lm_iteration(
             depth_obs, T_oc, depths, jnp.asarray(depth_range, f32), rcfg,
         )
 
-    rr = jax.vmap(per_frame)(
-        obs.T_wc, obs.rays, obs.ray_valid, obs.depth_obs, obs.frame_valid
-    )  # fields shaped [F, R] / [F, R, D]
+    with jax.named_scope("render_term"):
+        rr = jax.vmap(per_frame)(
+            obs.T_wc, obs.rays, obs.ray_valid, obs.depth_obs, obs.frame_valid
+        )  # fields shaped [F, R] / [F, R, D]
 
     obs_count = jnp.sum(rr.ray_ok).astype(f32)                # optimizer.py:134-135
     failed = obs_count == 0.0                                  # optimizer.py:139-141
@@ -135,11 +136,12 @@ def lm_iteration(
     H_m, b_m = _term_normal_eq(rr.jac_m, rr.res_m, ones, obs_count, cfg.w_mask)
 
     # ---------------- II. sdf reconstruction term ----------------
-    pts_o = obs.points_w @ T_ow[:3, :3].T + T_ow[:3, 3]        # optimizer.py:168
-    rec = sdf_residuals(params, spec, latent, pts_o, obs.point_valid, cfg.scale_on)
-    recon_count = jnp.sum(obs.point_valid).astype(f32)         # optimizer.py:177
-    w2_r = _robust_w2(rec.res, cfg.recon_robust_th_m, robust_active)
-    H_r, b_r = _term_normal_eq(rec.jac, rec.res, w2_r, recon_count, cfg.w_recon)
+    with jax.named_scope("recon_term"):
+        pts_o = obs.points_w @ T_ow[:3, :3].T + T_ow[:3, 3]    # optimizer.py:168
+        rec = sdf_residuals(params, spec, latent, pts_o, obs.point_valid, cfg.scale_on)
+        recon_count = jnp.sum(obs.point_valid).astype(f32)     # optimizer.py:177
+        w2_r = _robust_w2(rec.res, cfg.recon_robust_th_m, robust_active)
+        H_r, b_r = _term_normal_eq(rec.jac, rec.res, w2_r, recon_count, cfg.w_recon)
 
     # ---------------- III. code regularizer (optimizer.py:200-203) ----------------
     code_mask = (jnp.arange(D) >= pose_dim).astype(f32)
@@ -159,7 +161,8 @@ def lm_iteration(
     b = b_d + b_m + b_r + b_c
 
     # ---------------- solve + manifold update (optimizer.py:234-248) ----------------
-    delta = jnp.linalg.solve(H, b)
+    with jax.named_scope("solve_update"):
+        delta = jnp.linalg.solve(H, b)
     if pose_known:
         delta = delta.at[:6].set(0.0)                          # optimizer.py:237-239
     delta_p = delta[:pose_dim]

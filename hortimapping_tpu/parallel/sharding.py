@@ -52,6 +52,26 @@ def fruit_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = No
     return Mesh(np.asarray(devices), axis_names=("fruit",))
 
 
+def init_multi_host(coordinator_address: Optional[str] = None,
+                    num_processes: Optional[int] = None,
+                    process_id: Optional[int] = None) -> Mesh:
+    """Initialize multi-host execution and return the global fruit mesh.
+
+    Multi-host sweeps shard whole datasets over hosts; since fruits never
+    communicate, DCN carries nothing but the initial scatter and the final
+    metric gather (SURVEY §5: "DCN only for multi-host sweeps"). Arguments
+    default to the standard JAX env vars / TPU metadata discovery.
+    """
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return fruit_mesh()
+
+
 def pad_to_multiple(
     obs: FruitObservations,
     latent0: jnp.ndarray,

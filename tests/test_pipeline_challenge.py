@@ -76,3 +76,18 @@ def test_run_challenge_end_to_end(challenge_dir):
     # on easy synthetic fruits the completion lands within ~1 cm Chamfer
     assert summary["CD[mm]"] < 12.0
     assert summary["iteration"] > 1
+
+
+def test_run_challenge_deepsdf_baseline(challenge_dir):
+    """The shape-only DeepSDF baseline path (`baseline_name: DeepSDF`)."""
+    from hortimapping_tpu.pipeline.challenge import run_challenge
+
+    cfg = _cfg(challenge_dir)
+    cfg["baseline_name"] = "DeepSDF"
+    cfg["run_name"] = "test_baseline"
+    summary = run_challenge(cfg, log=lambda *a: None)
+    assert summary["fruits"] == 2
+    out = os.path.join(challenge_dir, "results", "test_baseline", "val")
+    assert len(os.listdir(out)) == 2
+    # shape-only fit on identity pose still lands in the right ballpark
+    assert summary["CD[mm]"] < 25.0
