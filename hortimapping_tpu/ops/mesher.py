@@ -80,9 +80,20 @@ class MeshExtractor:
         return self._grid_to_mesh(grid)
 
     def extract_batch(self, latents: jnp.ndarray) -> List[TriangleMesh]:
-        """All fruits of a submap: one vmapped TPU decode, host MT per fruit."""
+        """All fruits of a submap: one vmapped TPU decode, host MT per fruit.
+
+        Iso-surfacing runs in a thread pool — the native kernel is a ctypes
+        call that releases the GIL, so fruits mesh in parallel on host cores
+        while the TPU is free for the next batch."""
         d = self.voxels_dim
         grids = np.asarray(self._decode_grid_batch(jnp.asarray(latents))).reshape(-1, d, d, d)
+        # threading pays only for large grids (80^3 berry-resolution and up);
+        # at 40^3 the per-task cost (~3 ms) is below thread-pool overhead
+        if grids.shape[0] > 4 and d >= 64:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, grids.shape[0])) as ex:
+                return list(ex.map(self._grid_to_mesh, grids))
         return [self._grid_to_mesh(g) for g in grids]
 
     def _grid_to_mesh(self, grid: np.ndarray) -> TriangleMesh:

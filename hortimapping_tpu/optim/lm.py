@@ -373,6 +373,79 @@ def staged_joint_opt(
     )
 
 
+@partial(jax.jit, static_argnames=("spec", "cfg", "cube_radius", "pose_known"))
+def shape_pose_joint_opt_traced(
+    params: Params,
+    spec: DecoderSpec,
+    cfg: JointOptConfig,
+    obs: FruitObservations,
+    latent0: jnp.ndarray,
+    T_ow0: jnp.ndarray,
+    cube_radius: float,
+    pose_known: bool = False,
+) -> Tuple[OptResult, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Like `shape_pose_joint_opt`, but also returns the full per-iteration
+    trajectory (latents [max_iter, C], poses [max_iter, 4, 4]) via a
+    fixed-length `lax.scan`. This feeds the interactive visualizer's
+    per-iteration mesh evolution (the reference re-meshes inside the LM loop
+    when `vis_on`, `optimizer.py:268-271`) without ever syncing the device
+    mid-solve; the trajectory replays host-side after the solve."""
+
+    def step(s: OptState, _):
+        new = lm_iteration(params, spec, cfg, obs, s, cube_radius, pose_known)
+        new = _freeze_if_done(s, new)
+        return new, (new.latent, new.T_ow)
+
+    final, traj = jax.lax.scan(step, init_state(latent0, T_ow0), None,
+                               length=cfg.max_iter)
+    return (
+        OptResult(final.latent, final.T_ow, final.iter_count, final.failed,
+                  final.converged),
+        traj,
+    )
+
+
+def solve_in_chunks(
+    params: Params,
+    spec: DecoderSpec,
+    cfg: JointOptConfig,
+    obs: FruitObservations,
+    latent0: jnp.ndarray,
+    T_ow0: jnp.ndarray,
+    cube_radius: float,
+    pose_known: bool = False,
+    max_batch: int = 16,
+) -> OptResult:
+    """Batched solve in HBM-safe chunks.
+
+    The dense render forward materializes [B, F, R, M, D] activations in HBM
+    (~230 MB per fruit at the wild-pepper workload), so one fused solve holds
+    ~24 fruits on a 16 GB chip. Large datasets are solved in `max_batch`
+    chunks — the final chunk is padded to `max_batch` so every chunk reuses
+    one compiled program.
+    """
+    B = latent0.shape[0]
+    if B <= max_batch:
+        return shape_pose_joint_opt_batched(
+            params, spec, cfg, obs, latent0, T_ow0, cube_radius, pose_known
+        )
+    outs = []
+    for lo in range(0, B, max_batch):
+        hi = min(lo + max_batch, B)
+        sl = lambda a: a[lo:hi]
+        obs_c = jax.tree_util.tree_map(sl, obs)
+        lat_c, T_c = latent0[lo:hi], T_ow0[lo:hi]
+        if hi - lo < max_batch:
+            from hortimapping_tpu.parallel.sharding import pad_to_multiple
+
+            obs_c, lat_c, T_c, n = pad_to_multiple(obs_c, lat_c, T_c, max_batch)
+        res = shape_pose_joint_opt_batched(
+            params, spec, cfg, obs_c, lat_c, T_c, cube_radius, pose_known
+        )
+        outs.append(jax.tree_util.tree_map(lambda a: a[: hi - lo], res))
+    return jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+
+
 @partial(jax.jit, static_argnames=("spec", "cfg"))
 def shape_opt_deepsdf(
     params: Params,

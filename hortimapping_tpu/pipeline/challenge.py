@@ -28,7 +28,7 @@ from hortimapping_tpu.data.rays import get_render_data, render_data_to_observati
 from hortimapping_tpu.metrics import ChamferDistance, PrecisionRecall
 from hortimapping_tpu.models.workspace import config_decoder, load_latent_vectors
 from hortimapping_tpu.ops.mesher import MeshExtractor
-from hortimapping_tpu.optim.lm import shape_opt_deepsdf, shape_pose_joint_opt_batched
+from hortimapping_tpu.optim.lm import shape_opt_deepsdf, solve_in_chunks
 from hortimapping_tpu.utils.misc import get_time, set_random_seed, wandb_log_summary
 
 
@@ -130,7 +130,7 @@ def run_challenge(cfg: Dict, log=print) -> Dict:
         failed = np.zeros(B, bool)
     else:
         obs_b = stack_observations([p[1] for p in prepared])
-        res = shape_pose_joint_opt_batched(
+        res = solve_in_chunks(
             params, spec, opt_cfg, obs_b, lat0, T0, object_radius_max_m,
             pose_known=True,
         )

@@ -45,7 +45,7 @@ from hortimapping_tpu.data.rgbd import backproject
 from hortimapping_tpu.metrics import ChamferDistance, PrecisionRecall
 from hortimapping_tpu.models.workspace import config_decoder, load_latent_vectors
 from hortimapping_tpu.ops.mesher import MeshExtractor
-from hortimapping_tpu.optim.lm import shape_opt_deepsdf, shape_pose_joint_opt_batched
+from hortimapping_tpu.optim.lm import shape_opt_deepsdf, solve_in_chunks
 from hortimapping_tpu.utils.misc import get_time, set_random_seed, wandb_log_summary
 
 # fixed extrinsic initial guess of the handheld single-frame setup
@@ -278,7 +278,7 @@ def run_greenhouse_eval(cfg: Dict, multi_frame: bool, log=print) -> Dict:
             it_list.append(int(it))
         latents, T_ows, iters = np.stack(lat_list), np.asarray(T0), np.asarray(it_list)
     else:
-        res = shape_pose_joint_opt_batched(
+        res = solve_in_chunks(
             params, spec, opt_cfg, obs_b, lat0, T0, object_radius_max_m
         )
         latents, T_ows, iters = (np.asarray(res.latent), np.asarray(res.T_ow),

@@ -38,7 +38,7 @@ from hortimapping_tpu.data.rgbd import backproject
 from hortimapping_tpu.metrics import ChamferDistance, PrecisionRecall
 from hortimapping_tpu.models.workspace import config_decoder, load_latent_vectors
 from hortimapping_tpu.ops.mesher import MeshExtractor
-from hortimapping_tpu.optim.lm import shape_opt_deepsdf, shape_pose_joint_opt_batched
+from hortimapping_tpu.optim.lm import shape_opt_deepsdf, solve_in_chunks
 from hortimapping_tpu.utils.misc import get_time, set_random_seed, wandb_log_summary
 
 # fixed camera extrinsic of the single-frame setup (`eval_lab_single_frame.py:141`)
@@ -195,7 +195,7 @@ def run_lab_eval(cfg: Dict, multi_frame: bool, log=print) -> Dict:
         latents, T_ows = np.stack(lat_list), np.asarray(T0)
         iters = np.asarray(iters_list)
     else:
-        res = shape_pose_joint_opt_batched(
+        res = solve_in_chunks(
             params, spec, opt_cfg, obs_b, lat0, T0, object_radius_max_m
         )
         latents, T_ows = np.asarray(res.latent), np.asarray(res.T_ow)

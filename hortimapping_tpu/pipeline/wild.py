@@ -28,7 +28,7 @@ from hortimapping_tpu.data.preprocess import build_T_wo, clean_mesh, get_pose_in
 from hortimapping_tpu.data.rays import get_render_data, render_data_to_observations, stack_observations
 from hortimapping_tpu.models.workspace import config_decoder, load_latent_vectors
 from hortimapping_tpu.ops.mesher import MeshExtractor
-from hortimapping_tpu.optim.lm import shape_pose_joint_opt_batched
+from hortimapping_tpu.optim.lm import solve_in_chunks
 from hortimapping_tpu.utils.misc import set_random_seed, trace_if_enabled
 from hortimapping_tpu.vis import color_table, make_visualizer
 
@@ -213,19 +213,49 @@ def run_wild_completion(cfg: Dict, log=print) -> List[FruitResult]:
     lat0 = jnp.tile(jnp.asarray(init_latent)[None, :], (len(prepared), 1))
     T0 = jnp.stack([jnp.asarray(p[3], jnp.float32) for p in prepared])
     n_dev = len(jax.devices())
+    mesher = MeshExtractor(params, spec, voxels_dim, object_radius_max_m)
+    interactive = type(vis).__name__ == "OptVisualizer"
     with trace_if_enabled("wild_joint_opt"):
-        if n_dev > 1:
+        if interactive:
+            # reference-style interactive mode: sequential per-fruit solves
+            # with the per-iteration mesh evolution replayed in the window
+            # (`optimizer.py:268-271`); the trajectory is captured on device
+            # in one scan, so the solve itself never syncs mid-loop
+            from hortimapping_tpu.optim.lm import shape_pose_joint_opt_traced
+
+            from hortimapping_tpu.optim.state import OptResult as _OR
+
+            outs = []
+            for i, (name, sid, obs_i, T_ow0, clean_p, color) in enumerate(prepared):
+                vis.clean_vis()
+                vis.add_scan(clean_p)
+                if vis.stop():  # user skipped this fruit (SPACE/N vs S)
+                    outs.append(_OR(lat0[i], T0[i], jnp.int32(0),
+                                    jnp.asarray(True), jnp.asarray(False)))
+                    continue
+                r_i, (lat_traj, T_traj) = shape_pose_joint_opt_traced(
+                    params, spec, opt_cfg, obs_i, lat0[i], T0[i],
+                    object_radius_max_m,
+                )
+                for it in range(int(r_i.iter_count)):
+                    mesh_it = mesher.complete_mesh(
+                        lat_traj[it], np.linalg.inv(np.asarray(T_traj[it])), color
+                    )
+                    vis.update_mesh_pose(mesh_it, np.eye(4), it)
+                vis.stop()
+                outs.append(r_i)
+            res = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+        elif n_dev > 1:
             from hortimapping_tpu.parallel import fruit_mesh, shard_joint_opt
 
             res = shard_joint_opt(params, spec, opt_cfg, obs_b, lat0, T0,
                                   object_radius_max_m, fruit_mesh())
         else:
-            res = shape_pose_joint_opt_batched(
+            res = solve_in_chunks(
                 params, spec, opt_cfg, obs_b, lat0, T0, object_radius_max_m
             )
 
     # ---------------- phase 3: gates, batched meshing, outputs ----------------
-    mesher = MeshExtractor(params, spec, voxels_dim, object_radius_max_m)
     latents = np.asarray(res.latent)
     T_ows = np.asarray(res.T_ow)
     iters = np.asarray(res.iter_count)

@@ -124,3 +124,15 @@ def test_staged_matches_single_stage():
     np.testing.assert_array_equal(np.asarray(res.failed), np.asarray(ref.failed))
     # iteration counts match (modulo knife-edge convergence flips, none here)
     np.testing.assert_array_equal(np.asarray(res.iter_count), np.asarray(ref.iter_count))
+
+
+def test_solve_in_chunks_matches_unchunked():
+    from hortimapping_tpu.optim.lm import solve_in_chunks
+
+    params, spec = _world()
+    obs, lat, T = _batch(spec, 7)
+    ref = shape_pose_joint_opt_batched(params, spec, CFG, obs, lat, T, cube_radius=0.1)
+    res = solve_in_chunks(params, spec, CFG, obs, lat, T, cube_radius=0.1, max_batch=3)
+    np.testing.assert_allclose(np.asarray(res.latent), np.asarray(ref.latent), atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(res.iter_count), np.asarray(ref.iter_count))
+    assert res.latent.shape[0] == 7
