@@ -73,16 +73,18 @@ def main():
     mesher = MeshExtractor(params, spec, voxels_dim=voxels_dim, cube_radius=cube_radius)
 
     def run():
-        # NOTE: optim.lm.staged_joint_opt can cut the tail when convergence
-        # iteration counts spread; on this workload ~half the lanes run to
-        # max_iter, so the single-stage solve is faster end to end
+        # NOTE: optim.lm.staged_joint_opt saves ~15% device time here (the
+        # exact fused kernel spreads convergence to 3/20/50 iters), but its
+        # mid-solve host sync costs more than that over this machine's
+        # remote-TPU link; on directly-attached hosts prefer the staged solve
         res = shape_pose_joint_opt_batched(
             params, spec, cfg, obs, lat0, T0, cube_radius
         )
         jax.block_until_ready(res)
-        meshes = mesher.complete_mesh_batch(
-            res.latent, [np.linalg.inv(np.asarray(T)) for T in res.T_ow]
-        )
+        # ONE batched device->host fetch of all poses — per-fruit np.asarray
+        # would pay a ~30 ms tunnel round trip each (measured 480 ms/rep)
+        T_wo = np.linalg.inv(np.asarray(res.T_ow))
+        meshes = mesher.complete_mesh_batch(res.latent, list(T_wo))
         return res, meshes
 
     run()  # warmup: compile + first meshing

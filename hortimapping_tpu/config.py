@@ -113,10 +113,23 @@ class JointOptConfig:
                         # + nonzero overhead exceeds the decode savings)
     fwd_bf16: bool = False
     use_pallas: Optional[bool] = None
+    #   fused_render: None = auto (on on real TPU hardware) — single
+    #   fully-fused Pallas kernel for the whole render term
+    #   (ops/pallas_render.py); replaces the two-pass band pipeline
+    fused_render: Optional[bool] = None
+    fused_bf16: bool = True
+    fused_tr: int = 16
 
     def pallas_resolved(self) -> bool:
         if self.use_pallas is not None:
             return self.use_pallas
+        import jax
+
+        return jax.default_backend() == "tpu"
+
+    def fused_resolved(self) -> bool:
+        if self.fused_render is not None:
+            return self.fused_render
         import jax
 
         return jax.default_backend() == "tpu"
@@ -203,4 +216,7 @@ class JointOptConfig:
             fwd_cap=int(tpu.get("fwd_cap", d.fwd_cap)),
             fwd_bf16=bool(tpu.get("fwd_bf16", d.fwd_bf16)),
             use_pallas=tpu.get("use_pallas", d.use_pallas),
+            fused_render=tpu.get("fused_render", d.fused_render),
+            fused_bf16=bool(tpu.get("fused_bf16", d.fused_bf16)),
+            fused_tr=int(tpu.get("fused_tr", d.fused_tr)),
         )

@@ -116,12 +116,15 @@ def pack_params(
 
 def _fwd_chain(x, w0, wm, wl, p, b0, bm, bl, ps: PackedSpec, cdt, save=None):
     """Forward chain on one tile. x: [T, LANE] f32 -> tanh out [T, LANE]
-    (column 0 real). Appends post-ReLU activations to `save` if given."""
+    (column 0 real). Appends post-ReLU activations to `save` if given —
+    stored in the compute dtype: the backward uses them only as ReLU sign
+    masks and matmul inputs, so keeping them bf16 halves the VMEM they pin
+    (which is what bounds the ray-tile size of the fused render kernel)."""
     f32 = jnp.float32
     h = jnp.dot(x.astype(cdt), w0, preferred_element_type=f32) + b0
     h = jnp.maximum(h, 0.0)
     if save is not None:
-        save.append(h)
+        save.append(h.astype(cdt))
     skip = None
     if ps.li:
         skip = jnp.dot(x.astype(cdt), p, preferred_element_type=f32)
@@ -131,10 +134,16 @@ def _fwd_chain(x, w0, wm, wl, p, b0, bm, bl, ps: PackedSpec, cdt, save=None):
         h = jnp.dot(h.astype(cdt), wm[j], preferred_element_type=f32) + bm[j]
         h = jnp.maximum(h, 0.0)
         if save is not None:
-            save.append(h)
+            save.append(h.astype(cdt))
     if ps.n_mid + 1 == ps.li:
         h = h + skip
     return jnp.tanh(jnp.dot(h.astype(cdt), wl, preferred_element_type=f32) + bl)
+
+
+def _relu_mask(a):
+    """ReLU sign mask from a saved activation. Mosaic has no bf16 compare,
+    so compare in f32 (the cast is a cheap VPU op)."""
+    return (a.astype(jnp.float32) > 0.0).astype(jnp.float32)
 
 
 def _dot_t(g, w, cdt):
@@ -169,11 +178,11 @@ def _fwd_grad_kernel(x_ref, w0_ref, wm_ref, wl_ref, p_ref, b0_ref, bm_ref,
     if ps.n_mid + 1 == ps.li:
         grad_x = grad_x + _dot_t(g, p_ref[:], cdt)
     for j in range(ps.n_mid - 1, -1, -1):
-        g = g * (acts[j + 1] > 0.0)                                # relu mask
+        g = g * _relu_mask(acts[j + 1])
         g = _dot_t(g, wm_ref[j], cdt)
         if j + 1 == ps.li:
             grad_x = grad_x + _dot_t(g, p_ref[:], cdt)
-    g = g * (acts[0] > 0.0)
+    g = g * _relu_mask(acts[0])
     grad_ref[:] = grad_x + _dot_t(g, w0_ref[:], cdt)
 
 

@@ -1,0 +1,440 @@
+"""Fully-fused Pallas render-residual kernel.
+
+One kernel evaluates the ENTIRE occlusion-aware render residual of the
+reference (`/root/reference/wild_completion/loss.py:8-217`) — decoder
+forward, SDF->occupancy, transmittance rendering, occlusion masking,
+decoder input-gradient backward, pose/code Jacobian chain, and the per-ray
+Jacobian reduction — without leaving VMEM.
+
+Why: the two-pass XLA+Pallas pipeline (dense forward, then `jnp.nonzero`
+band compaction + gathers + a second forward in the band kernel + one-hot
+scatter reduction) spends as much device time moving/compacting data as it
+does in the decoder. A profiler trace of the 16-fruit wild-pepper workload
+put the per-LM-iteration cost at ~131 ms: dense forward 41 ms, band kernel
+33 ms, and ~58 ms of sort/gather/select machinery (TPU sorts and gathers
+are slow). This kernel removes every sort/gather and the duplicated
+forward: the only HBM traffic is the sample coordinates in and per-ray
+residuals/Jacobians out.
+
+Design (tile = TR rays x Mp samples, so a ray NEVER crosses a tile):
+
+  * the MLP runs sample-major ([TR*Mp, 128] rows) exactly like
+    `ops/pallas_mlp.py` (weights VMEM-resident, latent_in skip as a
+    placement matmul);
+  * the render math runs ray-major ([TR, Mp]); the two layouts are
+    converted by tiny iota-built selector matmuls (no reshapes/transposes,
+    which Mosaic relayouts expensively):
+      sample->ray:  sel[TR, T] @ (v * onehot[T, Mp])
+      ray->sample:  rowsum(sel2[T, TR] @ v  *  onehot)
+  * per-ray cumulative ops become exact log-step shift matmuls
+    (cumprod of `1-occ`, `loss.py:81-98`) and one upper-triangular matmul
+    (the suffix transmittance sum behind d(depth)/d(occ), `loss.py:100-107`);
+  * the backward pass reuses the in-VMEM forward activations (decoder
+    frozen — input gradients only, `wild_completion/utils.py:175-193`);
+    the pose chain g @ [I | -p^ | p] (`utils.py:197-276`) is evaluated with
+    constant lane-permutation matmuls (trans+code in one permutation,
+    the cross product p x g in four);
+  * the depth- and mask-term Jacobian sums over each ray's surviving
+    samples (`loss.py:188-215`) are two selector matmuls
+    sel @ (w * J_all) — the per-sample weights w = (de|dm)_do * do_ds *
+    sample_mask ride the rows, so no scatter and no transpose.
+
+Outputs per ray: res_d, res_m, ray_ok, in-radius count (lanes 0-3 of a
+[R, 128] block) and the two [R, pose_dim+C] Jacobians (lane-padded to 128).
+The frame-level `min_valid_sample` gate (`loss.py:43-45`) needs a
+cross-tile reduction and stays in the XLA epilogue.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hortimapping_tpu.models.decoder import DecoderSpec, Params
+from hortimapping_tpu.ops.pallas_mlp import (
+    _relu_mask,
+    LANE,
+    PackedSpec,
+    _dot_t,
+    _fwd_chain,
+    _interpret,
+    pack_params,
+    packed_spec,
+    supported,
+)
+from hortimapping_tpu.ops.sdf import logistic_sigma
+
+DEFAULT_TR = 8  # rays per tile; T = TR * Mp samples feed the MLP matmuls
+
+# perf-ablation hook (debug only): comma list in HORTI_FUSED_SKIP of
+# {"render", "bwd"} disables kernel stages to attribute device time
+import os as _os
+
+_SKIP = frozenset(filter(None, _os.environ.get("HORTI_FUSED_SKIP", "").split(",")))
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _iota2(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def _perm128(pairs) -> np.ndarray:
+    """[LANE, LANE] permutation/placement constant: value at lane s -> lane d."""
+    m = np.zeros((LANE, LANE), np.float32)
+    for s, d in pairs:
+        m[s, d] = 1.0
+    return m
+
+
+def _backward_input_grad(y, acts, x, wl, wm, w0, p, ps: PackedSpec, cdt):
+    """Reverse chain of `ops/pallas_mlp._fwd_grad_kernel`: per-sample input
+    gradient of tanh-SDF column 0. Returns G [T, LANE]."""
+    f32 = jnp.float32
+    col0 = (_iota2(y.shape, 1) == 0).astype(f32)
+    g = _dot_t((1.0 - y * y) * col0, wl, cdt)
+    grad_x = jnp.zeros_like(x)
+    if ps.n_mid + 1 == ps.li:
+        grad_x = grad_x + _dot_t(g, p, cdt)
+    for j in range(ps.n_mid - 1, -1, -1):
+        g = g * _relu_mask(acts[j + 1])
+        g = _dot_t(g, wm[j], cdt)
+        if j + 1 == ps.li:
+            grad_x = grad_x + _dot_t(g, p, cdt)
+    g = g * _relu_mask(acts[0])
+    return grad_x + _dot_t(g, w0, cdt)
+
+
+def _fused_render_kernel(
+    # per-tile / per-frame inputs
+    px_ref, py_ref, pz_ref,          # [TR, Mp] object-frame sample coords
+    rinfo_ref,                        # [TR, 8]: depth_obs, is_fg, ray_valid
+    depths_ref,                       # [1, Mp] ray-marching depths
+    fscal_ref,                        # [1, 8]: delta_d, d_term_bg, bbx_radius
+    lat_ref,                          # [1, LANE] latent padded to lanes 0:C
+    # packed decoder weights (VMEM-resident across the grid)
+    w0_ref, wm_ref, wl_ref, p_ref, b0_ref, bm_ref, bl_ref,
+    # constant lane-permutation matrices
+    ptc_ref,                          # trans+code placement [LANE, LANE]
+    pa1_ref, pb1_ref, pa2_ref, pb2_ref,  # cross-product placements
+    # outputs
+    jd_ref, jm_ref, res_ref,          # [TR, LANE] each
+    *,
+    ps: PackedSpec,
+    cdt,
+    TR: int,
+    Mp: int,
+    M_real: int,
+    C: int,
+    pose_dim: int,
+    scale_on: bool,
+    log_occ_on: bool,
+    occ_cutoff: float,
+    sigma: float,
+    occlusion_on: bool,
+    occlusion_th: float,
+    min_grad_th: float,
+):
+    f32 = jnp.float32
+    T = TR * Mp
+    px, py, pz = px_ref[:].astype(f32), py_ref[:].astype(f32), pz_ref[:].astype(f32)
+    delta_d = fscal_ref[0, 0]
+    d_term_bg = fscal_ref[0, 1]
+    bbx_radius = fscal_ref[0, 2]
+    depth_obs = rinfo_ref[:, 0:1]                                     # [TR, 1]
+    is_fg = rinfo_ref[:, 1:2]                                         # [TR, 1] 0/1
+    ray_valid = rinfo_ref[:, 2:3]                                     # [TR, 1] 0/1
+
+    # ---- per-lane convergence gate ----
+    # converged/failed fruits stay in the batched while_loop until the
+    # slowest lane finishes (optim/lm.py freeze semantics); their outputs
+    # are discarded, so skip ALL compute for them — with the measured
+    # 3/20/50 iteration spread this roughly halves the batch device time
+    active = fscal_ref[0, 3]
+
+    @pl.when(active <= 0.5)
+    def _idle():
+        z = jnp.zeros((TR, LANE), f32)
+        jd_ref[:] = z
+        jm_ref[:] = z
+        res_ref[:] = z
+
+    @pl.when(active > 0.5)
+    def _run():
+
+        # ---- layout-conversion constants (iota-built) ----
+        # sample-major [T, 1] (t = r*Mp + m) and ray-major [TR, Mp] are row-major
+        # views of the same data, but Mosaic cannot shape-cast across the
+        # sublane/lane split, so the conversions are tiny selector matmuls
+        sel = (_iota2((TR, T), 1) // Mp == _iota2((TR, T), 0)).astype(f32)   # [TR, T]
+        sel2 = (_iota2((T, TR), 0) // Mp == _iota2((T, TR), 1)).astype(f32)  # [T, TR]
+        onehot = (_iota2((T, Mp), 0) % Mp == _iota2((T, Mp), 1)).astype(f32)  # [T, Mp]
+
+        def to_sample(v_rm):  # [TR, Mp] -> [T, 1]
+            return jnp.sum(
+                jnp.dot(sel2, v_rm, preferred_element_type=f32) * onehot,
+                axis=1, keepdims=True,
+            )
+
+        def to_ray(v_sm):  # [T, 1] -> [TR, Mp]
+            return jnp.dot(sel, v_sm * onehot, preferred_element_type=f32)
+
+        # ---- decoder forward on the dense tile (loss.py:48-49) ----
+        lane = _iota2((T, LANE), 1)
+        px_s, py_s, pz_s = to_sample(px), to_sample(py), to_sample(pz)
+        x = (
+            jnp.broadcast_to(lat_ref[:], (T, LANE))
+            + px_s * (lane == C).astype(f32)
+            + py_s * (lane == C + 1).astype(f32)
+            + pz_s * (lane == C + 2).astype(f32)
+        )
+        acts = []
+        y = _fwd_chain(x, w0_ref[:], wm_ref[:], wl_ref[:], p_ref[:],
+                       b0_ref[:], bm_ref[:], bl_ref[:], ps, cdt, save=acts)
+        sdf_s = jnp.sum(y * (lane == 0).astype(f32), axis=1, keepdims=True)  # [T, 1]
+        sdf = to_ray(sdf_s)                                                   # [TR, Mp]
+
+        # ---- occupancy + validity (loss.py:38-45,55-64) ----
+        m_idx = _iota2((TR, Mp), 1)
+        real = m_idx < M_real
+        norm2 = px * px + py * py + pz * pz
+        valid = (norm2 < bbx_radius * bbx_radius) & (ray_valid > 0.5) & real
+        if log_occ_on:
+            occ_all = jax.nn.sigmoid(-sdf / sigma)
+        else:
+            occ_all = 0.5 - jnp.clip(sdf, -occ_cutoff, occ_cutoff) / (2.0 * occ_cutoff)
+        occ = jnp.where(valid, occ_all, 0.0)
+
+        if "render" in _SKIP:  # debug ablation: bypass the render math
+            d_u = jnp.sum(sdf * depths_ref[:], axis=1, keepdims=True)
+            res_ref[:] = jnp.broadcast_to(d_u, (TR, LANE))
+            w = occ
+            J0 = _backward_input_grad(y, acts, x, wl_ref[:], wm_ref[:], w0_ref[:],
+                                      p_ref[:], ps, cdt) if "bwd" not in _SKIP else x
+            jd_ref[:] = jnp.dot(sel, J0 * to_sample(w), preferred_element_type=f32)
+            jm_ref[:] = jd_ref[:]
+            return
+
+        # ---- transmittance render (loss.py:81-98) ----
+        # exact inclusive cumprod of (1 - occ) along the sample axis via log-step
+        # shift matmuls: acc <- acc * shift(acc, k), k = 1, 2, 4, ... where
+        # shift-by-k fills the first k slots with the multiplicative identity
+        one_minus = 1.0 - occ
+        acc = one_minus
+        k = 1
+        while k < Mp:
+            sh = (_iota2((Mp, Mp), 1) - _iota2((Mp, Mp), 0) == k).astype(f32)
+            shifted = jnp.dot(acc, sh, preferred_element_type=f32) + (m_idx < k).astype(f32)
+            acc = acc * shifted
+            k *= 2
+        sh1 = (_iota2((Mp, Mp), 0) + 1 == _iota2((Mp, Mp), 1)).astype(f32)
+        acc_aug = jnp.dot(acc, sh1, preferred_element_type=f32) + (m_idx == 0).astype(f32)
+        term_prob = occ * acc_aug                                          # [TR, Mp]
+        term_end = jnp.sum(acc * (m_idx == M_real - 1).astype(f32), axis=1, keepdims=True)
+        occ_ray = jnp.sum(term_prob, axis=1, keepdims=True)                # [TR, 1]
+        depths = jnp.broadcast_to(depths_ref[:], (TR, Mp))
+        d_u = jnp.sum(depths * term_prob, axis=1, keepdims=True) + d_term_bg * term_end
+
+        # ---- per-sample derivative of depth/mask wrt occupancy (loss.py:100-127) ----
+        denom = jnp.where(one_minus <= 0.0, 1.0, one_minus)
+        ut = (_iota2((Mp, Mp), 0) >= _iota2((Mp, Mp), 1)).astype(f32)      # suffix sum
+        suffix = jnp.dot(acc * real.astype(f32), ut, preferred_element_type=f32)
+        de_do = suffix * delta_d / denom
+        dm_do = term_end / denom
+        nz = de_do > min_grad_th
+        if log_occ_on:
+            do_ds = -occ * (1.0 - occ) / sigma
+        else:
+            do_ds = jnp.full((TR, Mp), -1.0 / (2.0 * occ_cutoff), f32)
+
+        # ---- band + occlusion masking (loss.py:66-68,132-149) ----
+        with_grad = valid & (sdf > -occ_cutoff) & (sdf < occ_cutoff)
+        sample_mask = with_grad & nz
+        if occlusion_on:
+            occluded = (is_fg < 0.5) & (depth_obs < d_u - occlusion_th) & (depth_obs > 0.0)
+            sample_mask = sample_mask & ~occluded
+
+        # ---- per-ray residuals (loss.py:142,151,155-176) ----
+        ray_ok = jnp.max(sample_mask.astype(f32), axis=1, keepdims=True)   # [TR, 1]
+        target = jnp.where(is_fg > 0.5, depth_obs, d_term_bg)
+        res_d = (target - d_u) * ray_ok
+        res_m = (occ_ray - is_fg) * ray_ok
+        valid_count = jnp.sum(valid.astype(f32), axis=1, keepdims=True)
+
+        # ---- backward: per-sample input grads, pose/code chain, per-ray sums ----
+        if "bwd" in _SKIP:  # debug ablation: bypass the backward + jacobians
+            mask_f = sample_mask.astype(f32)
+            jd_ref[:] = jnp.broadcast_to(to_ray(to_sample(mask_f))[:, :1], (TR, LANE))
+            jm_ref[:] = jd_ref[:]
+            lane_r0 = _iota2((TR, LANE), 1)
+            res_ref[:] = (
+                res_d * (lane_r0 == 0).astype(f32)
+                + res_m * (lane_r0 == 1).astype(f32)
+                + ray_ok * (lane_r0 == 2).astype(f32)
+                + valid_count * (lane_r0 == 3).astype(f32)
+            )
+            return
+
+        mask_f = sample_mask.astype(f32)
+
+        # tiles whose rays have no surviving band sample contribute zero
+        # Jacobians exactly (the reference takes gradients only on the
+        # |sdf| < cutoff band, loss.py:66-68,185-186) — skip the whole
+        # backward chain for them
+        any_band = jnp.sum(mask_f) > 0.0
+
+        @pl.when(any_band)
+        def _backward():
+            G = _backward_input_grad(y, acts, x, wl_ref[:], wm_ref[:], w0_ref[:],
+                                     p_ref[:], ps, cdt)                    # [T, LANE]
+            xyz_mask = ((lane >= C) & (lane < C + 3)).astype(f32)
+            p_lanes = x * xyz_mask                                         # p at lanes C..C+2
+            J = jnp.dot(G, ptc_ref[:], preferred_element_type=f32)         # trans + code
+            cross = (
+                jnp.dot(p_lanes, pa1_ref[:], preferred_element_type=f32)
+                * jnp.dot(G, pb1_ref[:], preferred_element_type=f32)
+                - jnp.dot(p_lanes, pa2_ref[:], preferred_element_type=f32)
+                * jnp.dot(G, pb2_ref[:], preferred_element_type=f32)
+            )
+            J = J + cross
+            if scale_on:
+                gdotp = jnp.sum(G * p_lanes, axis=1, keepdims=True)        # [T, 1]
+                J = J + gdotp * (lane == pose_dim - 1).astype(f32)
+
+            w_d = to_sample(de_do * do_ds * mask_f)                        # [T, 1]
+            w_m = to_sample(dm_do * do_ds * mask_f)
+            jd_ref[:] = jnp.dot(sel, J * w_d, preferred_element_type=f32) * ray_ok
+            jm_ref[:] = jnp.dot(sel, J * w_m, preferred_element_type=f32) * ray_ok
+
+        @pl.when(jnp.logical_not(any_band))
+        def _no_band():
+            jd_ref[:] = jnp.zeros((TR, LANE), f32)
+            jm_ref[:] = jnp.zeros((TR, LANE), f32)
+
+        lane_r = _iota2((TR, LANE), 1)
+        res_ref[:] = (
+            res_d * (lane_r == 0).astype(f32)
+            + res_m * (lane_r == 1).astype(f32)
+            + ray_ok * (lane_r == 2).astype(f32)
+            + valid_count * (lane_r == 3).astype(f32)
+        )
+
+
+def fused_render(
+    packed: Tuple[jnp.ndarray, ...],
+    ps: PackedSpec,
+    spec: DecoderSpec,
+    latent: jnp.ndarray,          # [C]
+    pts_obj: jnp.ndarray,         # [R, M, 3] object-frame sample points
+    depth_obs: jnp.ndarray,       # [R]
+    is_fg: jnp.ndarray,           # [R] bool
+    ray_valid: jnp.ndarray,       # [R] bool (ray padding & frame validity)
+    sampled_depths: jnp.ndarray,  # [M]
+    bbx_radius: jnp.ndarray,      # []
+    lane_active=None,             # [] bool/float; False skips ALL compute
+    *,
+    pose_dim: int,
+    scale_on: bool,
+    log_occ_on: bool,
+    occ_cutoff: float,
+    occlusion_on: bool,
+    occlusion_th: float,
+    min_grad_th: float,
+    bf16: bool = True,
+    tr: int = DEFAULT_TR,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Single-frame fused render residuals.
+
+    Returns (jac_d [Rp, 128], jac_m [Rp, 128], resout [Rp, 128]) with
+    Rp = R rounded up to the ray-tile size; resout lanes are
+    {0: res_d, 1: res_m, 2: ray_ok, 3: in-radius count}. Jacobian lanes are
+    [pose | code] like `RenderResiduals`. The caller trims/gates.
+    """
+    R, M = pts_obj.shape[0], pts_obj.shape[1]
+    C = spec.code_length
+    # no 128-multiple requirement on the sample axis — only the MLP row count
+    # T = tr * Mp must stay a sublane multiple; padding samples cost full
+    # decoder FLOPs, so keep Mp minimal
+    Mp = max(M, 8)
+    while (tr * Mp) % 8 != 0:
+        Mp += 1
+    Rp = _round_up(R, tr)
+    f32 = jnp.float32
+
+    px = jnp.zeros((Rp, Mp), f32).at[:R, :M].set(pts_obj[..., 0])
+    py = jnp.zeros((Rp, Mp), f32).at[:R, :M].set(pts_obj[..., 1])
+    pz = jnp.zeros((Rp, Mp), f32).at[:R, :M].set(pts_obj[..., 2])
+    rinfo = jnp.zeros((Rp, 8), f32)
+    rinfo = rinfo.at[:R, 0].set(depth_obs)
+    rinfo = rinfo.at[:R, 1].set(is_fg.astype(f32))
+    rinfo = rinfo.at[:R, 2].set(ray_valid.astype(f32))
+    depths = jnp.zeros((1, Mp), f32).at[0, :M].set(sampled_depths)
+    d_min, d_max = sampled_depths[0], sampled_depths[-1]
+    delta_d = (d_max - d_min) / (M - 1)
+    active = (
+        jnp.ones((), f32) if lane_active is None
+        else jnp.asarray(lane_active).astype(f32).reshape(())
+    )
+    fscal = jnp.stack([
+        delta_d, d_max + delta_d, jnp.asarray(bbx_radius, f32),
+        active, jnp.zeros(()), jnp.zeros(()), jnp.zeros(()), jnp.zeros(()),
+    ])[None, :]
+    lat = jnp.zeros((1, LANE), f32).at[0, :C].set(latent)
+
+    # constant permutation matrices: trans (C..C+2 -> 0..2) + code
+    # (0..C-1 -> pose_dim..pose_dim+C-1) in one; cross product p x g via
+    # (p@A1)(g@B1) - (p@A2)(g@B2) placed at lanes 3..5
+    ptc = _perm128(
+        [(C + i, i) for i in range(3)] + [(i, pose_dim + i) for i in range(C)]
+    )
+    pa1 = _perm128([(C + 1, 3), (C + 2, 4), (C + 0, 5)])   # p_y, p_z, p_x
+    pb1 = _perm128([(C + 2, 3), (C + 0, 4), (C + 1, 5)])   # g_z, g_x, g_y
+    pa2 = _perm128([(C + 2, 3), (C + 0, 4), (C + 1, 5)])   # p_z, p_x, p_y
+    pb2 = _perm128([(C + 1, 3), (C + 2, 4), (C + 0, 5)])   # g_y, g_z, g_x
+    consts = tuple(jnp.asarray(a) for a in (ptc, pa1, pb1, pa2, pb2))
+
+    cdt = jnp.bfloat16 if bf16 else jnp.float32
+    kernel = functools.partial(
+        _fused_render_kernel,
+        ps=ps, cdt=cdt, TR=tr, Mp=Mp, M_real=M, C=C, pose_dim=pose_dim,
+        scale_on=scale_on, log_occ_on=log_occ_on, occ_cutoff=occ_cutoff,
+        sigma=logistic_sigma(occ_cutoff), occlusion_on=occlusion_on,
+        occlusion_th=occlusion_th, min_grad_th=min_grad_th,
+    )
+    n_tiles = Rp // tr
+    vm = pltpu.VMEM
+    out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((Rp, LANE), f32),
+            jax.ShapeDtypeStruct((Rp, LANE), f32),
+            jax.ShapeDtypeStruct((Rp, LANE), f32),
+        ),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tr, Mp), lambda i: (i, 0), memory_space=vm),   # px
+            pl.BlockSpec((tr, Mp), lambda i: (i, 0), memory_space=vm),   # py
+            pl.BlockSpec((tr, Mp), lambda i: (i, 0), memory_space=vm),   # pz
+            pl.BlockSpec((tr, 8), lambda i: (i, 0), memory_space=vm),    # rinfo
+            pl.BlockSpec((1, Mp), lambda i: (0, 0), memory_space=vm),    # depths
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=vm),     # fscal
+            pl.BlockSpec((1, LANE), lambda i: (0, 0), memory_space=vm),  # latent
+            *[pl.BlockSpec(memory_space=vm) for _ in range(7)],          # weights
+            *[pl.BlockSpec(memory_space=vm) for _ in range(5)],          # perms
+        ],
+        out_specs=(
+            pl.BlockSpec((tr, LANE), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec((tr, LANE), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec((tr, LANE), lambda i: (i, 0), memory_space=vm),
+        ),
+        interpret=_interpret(),
+    )(px, py, pz, rinfo, depths, fscal, lat, *packed, *consts)
+    return out

@@ -79,6 +79,14 @@ class RenderConfig:
                    in VMEM, cutting the HBM activation traffic that bounds
                    the XLA path. Falls back to XLA automatically when the
                    architecture is not kernel-supported.
+      fused      — single fully-fused Pallas kernel for the whole residual
+                   (ops/pallas_render.py): forward + transmittance +
+                   backward + per-ray Jacobian reduction in VMEM. Removes
+                   the `nonzero` sort, all gathers and the duplicated band
+                   forward of the two-pass path (measured ~58 ms/iter of
+                   sort/gather machinery on the 16-fruit wild workload).
+                   Same math as the dense path; bfloat16 matmuls with f32
+                   accumulation (XLA's default TPU matmul precision).
     """
 
     scale_on: bool = False          # Sim(3) (7-dof) vs SE(3) (6-dof) pose Jacobians
@@ -92,6 +100,9 @@ class RenderConfig:
     fwd_cap: int = 0                # 0 = dense forward; > 0 = in-radius budget
     fwd_bf16: bool = False          # bf16 forward pass
     use_pallas: bool = False        # fused Pallas MLP kernels
+    fused: bool = False             # single fully-fused render kernel
+    fused_bf16: bool = True         # compute dtype inside the fused kernel
+    fused_tr: int = 16              # rays per tile in the fused kernel
 
     @property
     def pose_dim(self) -> int:
@@ -121,6 +132,9 @@ def render_residuals(
     sampled_depths: jnp.ndarray,  # [M] ray-marching depths (linspace)
     bbx_radius: jnp.ndarray,    # [] object bounding radius in object frame
     cfg: RenderConfig,
+    lane_active: jnp.ndarray | None = None,  # [] False = frozen LM lane:
+    # outputs are discarded by the solver's freeze logic, so the fused
+    # kernel skips all compute for it (the dense path ignores the flag)
 ) -> RenderResiduals:
     R, M = rays.shape[0], sampled_depths.shape[0]
     f32 = jnp.float32
@@ -128,6 +142,12 @@ def render_residuals(
     # --- sample points: cam -> object frame (loss.py:30-33) ---
     pts_cam = rays[:, None, :] * sampled_depths[None, :, None]          # [R, M, 3]
     pts_obj = pts_cam @ T_oc[:3, :3].T + T_oc[:3, 3]                    # [R, M, 3]
+
+    if cfg.fused and pallas_mlp.supported(spec) and M >= 2:
+        return _render_residuals_fused(
+            params, spec, latent, pts_obj, is_fg, ray_valid, depth_obs,
+            sampled_depths, bbx_radius, cfg, lane_active,
+        )
 
     valid = (jnp.linalg.norm(pts_obj, axis=-1) < bbx_radius) & ray_valid[:, None]
     frame_ok = jnp.sum(valid) >= cfg.min_valid_sample                   # loss.py:43-45
@@ -276,4 +296,48 @@ def render_residuals(
     jac_d = jnp.concatenate([jac_d_pose, jac_d_code], axis=-1) * okf
     jac_m = jnp.concatenate([jac_m_pose, jac_m_code], axis=-1) * okf
 
+    return RenderResiduals(res_d, jac_d, res_m, jac_m, ray_ok, frame_ok)
+
+
+def _render_residuals_fused(
+    params: Params,
+    spec: DecoderSpec,
+    latent: jnp.ndarray,
+    pts_obj: jnp.ndarray,       # [R, M, 3]
+    is_fg: jnp.ndarray,
+    ray_valid: jnp.ndarray,
+    depth_obs: jnp.ndarray,
+    sampled_depths: jnp.ndarray,
+    bbx_radius: jnp.ndarray,
+    cfg: RenderConfig,
+    lane_active: jnp.ndarray | None = None,
+) -> RenderResiduals:
+    """Fully-fused kernel path (ops/pallas_render.py) + the frame-level
+    epilogue: the `min_valid_sample` gate (`loss.py:43-45`) is the only
+    cross-ray-tile reduction, so it stays in XLA."""
+    from hortimapping_tpu.ops import pallas_render
+
+    R = pts_obj.shape[0]
+    D = cfg.pose_dim + spec.code_length
+    f32 = jnp.float32
+    packed = pallas_mlp.pack_params(
+        params, spec, jnp.bfloat16 if cfg.fused_bf16 else jnp.float32
+    )
+    pps = pallas_mlp.packed_spec(spec)
+    jd, jm, resout = pallas_render.fused_render(
+        packed, pps, spec, latent, pts_obj, depth_obs, is_fg, ray_valid,
+        sampled_depths, bbx_radius, lane_active,
+        pose_dim=cfg.pose_dim, scale_on=cfg.scale_on,
+        log_occ_on=cfg.log_occ_on, occ_cutoff=cfg.occ_cutoff,
+        occlusion_on=cfg.occlusion_on, occlusion_th=cfg.occlusion_th,
+        min_grad_th=cfg.min_grad_th, bf16=cfg.fused_bf16, tr=cfg.fused_tr,
+    )
+    valid_total = jnp.sum(resout[:, 3])
+    frame_ok = valid_total >= cfg.min_valid_sample
+    gate = frame_ok.astype(f32)
+    res_d = resout[:R, 0] * gate
+    res_m = resout[:R, 1] * gate
+    ray_ok = (resout[:R, 2] > 0.5) & frame_ok
+    jac_d = jd[:R, :D] * gate
+    jac_m = jm[:R, :D] * gate
     return RenderResiduals(res_d, jac_d, res_m, jac_m, ray_ok, frame_ok)

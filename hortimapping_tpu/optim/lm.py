@@ -51,6 +51,9 @@ def _render_config(cfg: JointOptConfig) -> RenderConfig:
         fwd_cap=cfg.fwd_cap_resolved,
         fwd_bf16=cfg.fwd_bf16,
         use_pallas=cfg.pallas_resolved(),
+        fused=cfg.fused_resolved(),
+        fused_bf16=cfg.fused_bf16,
+        fused_tr=cfg.fused_tr,
     )
 
 
@@ -94,6 +97,10 @@ def lm_iteration(
     f32 = jnp.float32
     i = state.i
     latent, T_ow = state.latent, state.T_ow
+    # frozen lanes keep stepping in the shared batched while_loop but their
+    # outputs are discarded (_freeze_if_done) — tell the fused render kernel
+    # to skip their compute entirely
+    lane_active = ~(state.done | state.failed)
 
     cur_scale = jnp.linalg.det(T_ow[:3, :3]) ** (-1.0 / 3.0)  # optimizer.py:66
 
@@ -119,6 +126,7 @@ def lm_iteration(
         return render_residuals(
             params, spec, latent, rays, is_fg, ray_valid & frame_valid,
             depth_obs, T_oc, depths, jnp.asarray(depth_range, f32), rcfg,
+            lane_active,
         )
 
     with jax.named_scope("render_term"):
@@ -346,23 +354,26 @@ def staged_joint_opt(
     r1 = shape_pose_joint_opt_batched(
         params, spec, cfg1, obs, latent0, T_ow0, cube_radius, pose_known
     )
+    # only the per-lane flags cross to the host (a few bytes) — the stage-2
+    # lane gather runs on device, so the observation buffers never round-trip
+    # the (slow) host link
     live = np.asarray(~(r1.converged | r1.failed))
     idx = np.nonzero(live)[0]
     if idx.size == 0:
         return r1
     Bp = _round_up_pow2(int(idx.size))
-    pad_idx = np.concatenate([idx, np.repeat(idx[:1], Bp - idx.size)])
-    take = lambda a: jnp.asarray(np.asarray(a)[pad_idx])
+    pad_idx = jnp.asarray(np.concatenate([idx, np.repeat(idx[:1], Bp - idx.size)]))
+    take = lambda a: a[pad_idx]
     obs2 = jax.tree_util.tree_map(take, obs)
     r2 = _continue_joint_opt_batched(
         params, spec, cfg, obs2, take(r1.latent), take(r1.T_ow),
         cube_radius, pose_known, m1,
     )
 
+    idx_dev = jnp.asarray(idx)
+
     def merge(a1, a2):
-        out = np.asarray(a1).copy()
-        out[idx] = np.asarray(a2)[: idx.size]
-        return jnp.asarray(out)
+        return a1.at[idx_dev].set(a2[: idx.size])
 
     return OptResult(
         merge(r1.latent, r2.latent),
