@@ -80,19 +80,27 @@ def main():
         res = shape_pose_joint_opt_batched(
             params, spec, cfg, obs, lat0, T0, cube_radius
         )
-        jax.block_until_ready(res)
-        # ONE batched device->host fetch of all poses — per-fruit np.asarray
-        # would pay a ~30 ms tunnel round trip each (measured 480 ms/rep)
+        # ONE batched device->host fetch of all poses is the sync point:
+        # per-fruit np.asarray would pay a ~30 ms tunnel round trip each
+        # (measured 480 ms/rep), and jax.block_until_ready polls with
+        # backoff over the remote-TPU link (~+1 s on a 2.3 s solve)
         T_wo = np.linalg.inv(np.asarray(res.T_ow))
         meshes = mesher.complete_mesh_batch(res.latent, list(T_wo))
         return res, meshes
 
     run()  # warmup: compile + first meshing
     n_rep = 5
-    t0 = time.perf_counter()
+    reps = []
     for _ in range(n_rep):
+        t0 = time.perf_counter()
         res, meshes = run()
-    dt = (time.perf_counter() - t0) / n_rep
+        reps.append(time.perf_counter() - t0)
+    # median over reps: the remote-TPU link adds occasional multi-hundred-ms
+    # hiccups that a mean would average into the device number
+    import sys
+
+    print("rep times (ms):", [round(r * 1e3) for r in reps], file=sys.stderr)
+    dt = sorted(reps)[len(reps) // 2]
 
     per_fruit_s = dt / N_FRUITS
     print(
