@@ -510,3 +510,62 @@ def shape_opt_deepsdf(
         cond, body, (latent0, jnp.int32(0), jnp.int32(0), jnp.asarray(False))
     )
     return latent, iters
+
+
+@partial(jax.jit, static_argnames=("spec", "cfg"))
+def shape_opt_deepsdf_batched(
+    params: Params,
+    spec: DecoderSpec,
+    cfg: JointOptConfig,
+    points_o: jnp.ndarray,     # [B, P, 3]
+    point_valid: jnp.ndarray,  # [B, P] bool
+    latent0: jnp.ndarray,      # [B, C]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """All fruits' DeepSDF-baseline solves in one vmapped while_loop (the
+    per-fruit sequential loop of `run_shape_completion_challenge.py:207-218`
+    batched away, like `shape_pose_joint_opt_batched` for the joint opt).
+    Returns (latents [B, C], iter counts [B])."""
+    C = latent0.shape[-1]
+    f32 = jnp.float32
+
+    def body(state):
+        latent, i, iters, done = state
+
+        def lane(lat, pts, pv, lane_done):
+            rec = sdf_residuals(params, spec, lat, pts, pv, scale_on=False)
+            jac_code = rec.jac[:, 6:]
+            count = jnp.sum(pv).astype(f32)
+            w2 = _robust_w2(rec.res, cfg.recon_robust_th_m, i >= cfg.robust_iter)
+            H, b = _term_normal_eq(jac_code, rec.res, w2, count, cfg.w_recon)
+            H = H + cfg.w_codereg * jnp.eye(C, dtype=f32)
+            b = b - cfg.w_codereg * lat
+            if cfg.lm_on:
+                if cfg.lm_eye:
+                    H = H + cfg.lm_lambda_0 * jnp.max(jnp.diag(H)) * jnp.eye(C, dtype=f32)
+                else:
+                    H = H + cfg.lm_lambda_0 * jnp.diag(jnp.diag(H))
+            delta_c = jnp.linalg.solve(H, b)
+            lat_new = lat + delta_c
+            past = i > 1
+            conv = ((jnp.max(jnp.abs(b)) < cfg.epsilon_g) & past) | (
+                (jnp.max(jnp.abs(delta_c / (lat_new + 1e-12))) < cfg.epsilon_c) & past
+            )
+            return jnp.where(lane_done, lat, lat_new), conv | (i >= cfg.max_iter - 1)
+
+        lat_new, done_new = jax.vmap(lane)(latent, points_o, point_valid, done)
+        return (
+            lat_new,
+            i + 1,
+            jnp.where(done, iters, i + 1),
+            done | done_new,
+        )
+
+    def cond(state):
+        return jnp.any(~state[3])
+
+    B = latent0.shape[0]
+    latent, _, iters, _ = jax.lax.while_loop(
+        cond, body,
+        (latent0, jnp.int32(0), jnp.zeros(B, jnp.int32), jnp.zeros(B, bool)),
+    )
+    return latent, iters

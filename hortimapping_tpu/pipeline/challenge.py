@@ -28,7 +28,7 @@ from hortimapping_tpu.data.rays import get_render_data, render_data_to_observati
 from hortimapping_tpu.metrics import ChamferDistance, PrecisionRecall
 from hortimapping_tpu.models.workspace import config_decoder, load_latent_vectors
 from hortimapping_tpu.ops.mesher import MeshExtractor
-from hortimapping_tpu.optim.lm import shape_opt_deepsdf, solve_in_chunks
+from hortimapping_tpu.optim.lm import shape_opt_deepsdf_batched, solve_in_chunks
 from hortimapping_tpu.utils.misc import get_time, set_random_seed, wandb_log_summary
 
 
@@ -115,18 +115,15 @@ def run_challenge(cfg: Dict, log=print) -> Dict:
     T0 = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (B, 1, 1))
     t0 = get_time()
     if deepsdf_baseline:
-        # shape-only baseline, pose frozen at identity (points already ~object frame)
-        lat_out, iter_out = [], []
-        for _, obs, _, _ in prepared:
-            lat, iters = shape_opt_deepsdf(
-                params, spec, opt_cfg, obs.points_w, obs.point_valid,
-                jnp.asarray(init_latent),
-            )
-            lat_out.append(lat)
-            iter_out.append(iters)
-        latents = np.stack([np.asarray(l) for l in lat_out])
+        # shape-only baseline, pose frozen at identity (points already ~object
+        # frame) — all fruits in one vmapped solve, one device->host fetch
+        obs_b = stack_observations([p[1] for p in prepared])
+        lat_b, iter_b = shape_opt_deepsdf_batched(
+            params, spec, opt_cfg, obs_b.points_w, obs_b.point_valid, lat0
+        )
+        latents = np.asarray(lat_b)
         T_ows = np.asarray(T0)
-        iters = np.asarray([int(i) for i in iter_out])
+        iters = np.asarray(iter_b)
         failed = np.zeros(B, bool)
     else:
         obs_b = stack_observations([p[1] for p in prepared])

@@ -38,7 +38,7 @@ from hortimapping_tpu.data.rgbd import backproject
 from hortimapping_tpu.metrics import ChamferDistance, PrecisionRecall
 from hortimapping_tpu.models.workspace import config_decoder, load_latent_vectors
 from hortimapping_tpu.ops.mesher import MeshExtractor
-from hortimapping_tpu.optim.lm import shape_opt_deepsdf, solve_in_chunks
+from hortimapping_tpu.optim.lm import shape_opt_deepsdf_batched, solve_in_chunks
 from hortimapping_tpu.utils.misc import get_time, set_random_seed, wandb_log_summary
 
 # fixed camera extrinsic of the single-frame setup (`eval_lab_single_frame.py:141`)
@@ -184,16 +184,11 @@ def run_lab_eval(cfg: Dict, multi_frame: bool, log=print) -> Dict:
 
     t0 = get_time()
     if deepsdf_baseline:
-        lat_list, iters_list = [], []
-        for _, obs, _, _, _ in prepared:
-            lat, it = shape_opt_deepsdf(
-                params, spec, opt_cfg, obs.points_w, obs.point_valid,
-                jnp.asarray(init_latent),
-            )
-            lat_list.append(np.asarray(lat))
-            iters_list.append(int(it))
-        latents, T_ows = np.stack(lat_list), np.asarray(T0)
-        iters = np.asarray(iters_list)
+        lat_b, it_b = shape_opt_deepsdf_batched(
+            params, spec, opt_cfg, obs_b.points_w, obs_b.point_valid, lat0
+        )
+        latents, T_ows = np.asarray(lat_b), np.asarray(T0)
+        iters = np.asarray(it_b)
     else:
         res = solve_in_chunks(
             params, spec, opt_cfg, obs_b, lat0, T0, object_radius_max_m

@@ -208,3 +208,32 @@ def test_shape_opt_deepsdf_fits_points(world):
 
     sdf = np.asarray(decoder_sdf(params, spec, latent, jnp.asarray(pts_o)))
     assert np.abs(sdf).mean() < 0.005, f"fit residual {np.abs(sdf).mean()*1000:.1f} mm"
+
+
+def test_shape_opt_deepsdf_batched_matches_single(world):
+    from hortimapping_tpu.optim.lm import shape_opt_deepsdf_batched
+
+    params, spec, cat, proj = world
+    rng = np.random.default_rng(11)
+    pts, valid, lat0 = [], [], []
+    for b in range(3):
+        code_gt = (rng.normal(size=spec.code_length) * 0.4).astype(np.float32)
+        radii = np.asarray(ellipsoid_radii(jnp.asarray(code_gt), jnp.asarray(proj), cat.base_radius))
+        dirs = rng.normal(size=(200, 3))
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        pts.append((dirs * radii).astype(np.float32))
+        v = np.ones(200, bool)
+        v[150 + 10 * b:] = False  # differing valid counts across lanes
+        valid.append(v)
+        lat0.append(np.zeros(spec.code_length, np.float32))
+    pts_b, valid_b, lat_b = map(jnp.asarray, (np.stack(pts), np.stack(valid), np.stack(lat0)))
+
+    got_lat, got_it = shape_opt_deepsdf_batched(params, spec, CFG, pts_b, valid_b, lat_b)
+    for b in range(3):
+        want_lat, want_it = shape_opt_deepsdf(
+            params, spec, CFG, pts_b[b], valid_b[b], lat_b[b]
+        )
+        assert int(got_it[b]) == int(want_it)
+        np.testing.assert_allclose(
+            np.asarray(got_lat[b]), np.asarray(want_lat), atol=1e-5
+        )
