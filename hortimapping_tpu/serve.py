@@ -1,0 +1,239 @@
+"""Continuous fruit-completion serving.
+
+The reference is a set of offline scripts: one Python process walks a
+dataset and optimizes fruits one at a time (`test_wild_completion.py:133`,
+`run_shape_completion_challenge.py:93`). A production mapping robot instead
+produces submaps continuously, and the TPU solver is batched — so the
+natural serving shape is a queue + a batch packer in front of the fused LM
+program:
+
+  * requests (one fruit each) arrive on a thread-safe queue and are grouped
+    by observation shape (a compiled program is one static shape — fruits
+    from different configs land in different buckets);
+  * a worker thread packs up to `max_batch` lanes per step, pads the last
+    partial batch with invalidated lanes (`parallel.sharding.pad_to_multiple`)
+    so every bucket reuses ONE compiled executable, and runs the batched
+    fused solve (per-lane convergence gating means a lane that converges
+    early stops costing device time — see docs/PERF.md);
+  * results resolve `concurrent.futures.Future`s, so producers overlap
+    preprocessing of the next submap with device work on the current one;
+  * optional meshing runs host-side off the batch (one grid decode for the
+    whole batch, GIL-released iso-surfacing).
+
+This is a TPU-native addition with no reference equivalent (SURVEY.md section
+2.2: the reference has no parallel or serving execution of any kind).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from hortimapping_tpu.config import JointOptConfig
+from hortimapping_tpu.models.decoder import DecoderSpec, Params
+from hortimapping_tpu.optim.state import FruitObservations
+
+
+@dataclasses.dataclass
+class CompletionRequest:
+    """One fruit to complete."""
+
+    fruit_id: str
+    obs: FruitObservations           # single-fruit observation pytree
+    latent0: np.ndarray              # [C]
+    T_ow0: np.ndarray                # [4, 4]
+    pose_known: bool = False
+
+
+@dataclasses.dataclass
+class CompletionResult:
+    fruit_id: str
+    latent: np.ndarray
+    T_ow: np.ndarray
+    iter_count: int
+    failed: bool
+    converged: bool
+    mesh: Optional[object] = None    # data.mesh.TriangleMesh when meshing on
+    latency_s: float = 0.0           # submit -> result
+    batch_size: int = 0              # real lanes in the batch that served it
+
+
+def _shape_key(req: CompletionRequest) -> Tuple:
+    import jax
+
+    return (
+        tuple((tuple(a.shape), str(a.dtype)) for a in jax.tree_util.tree_leaves(req.obs)),
+        bool(req.pose_known),
+    )
+
+
+class CompletionServer:
+    """Queue + batch packer in front of the batched fused LM solve.
+
+    Usage::
+
+        with CompletionServer(params, spec, cfg, cube_radius) as srv:
+            futs = [srv.submit(r) for r in requests]
+            results = [f.result() for f in futs]
+    """
+
+    def __init__(
+        self,
+        params: Params,
+        spec: DecoderSpec,
+        cfg: JointOptConfig,
+        cube_radius: float,
+        max_batch: int = 16,
+        max_wait_s: float = 0.02,
+        mesher=None,
+    ):
+        self.params = params
+        self.spec = spec
+        self.cfg = cfg
+        self.cube_radius = float(cube_radius)
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_s)
+        self.mesher = mesher
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._lock = threading.Lock()
+        self._completed = 0
+        self._latencies: List[float] = []
+        self._started_at: Optional[float] = None
+
+    # ---------------- lifecycle ----------------
+
+    def start(self) -> "CompletionServer":
+        if self._thread is not None:
+            return self
+        self._started_at = time.perf_counter()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+    def __enter__(self) -> "CompletionServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # ---------------- API ----------------
+
+    def submit(self, req: CompletionRequest) -> "Future[CompletionResult]":
+        fut: "Future[CompletionResult]" = Future()
+        self._q.put((req, fut, time.perf_counter()))
+        return fut
+
+    def stats(self) -> Dict:
+        with self._lock:
+            lat = sorted(self._latencies)
+            n = self._completed
+            wall = (time.perf_counter() - self._started_at) if self._started_at else 0.0
+        return {
+            "completed": n,
+            "fruits_per_sec": n / wall if wall > 0 else 0.0,
+            "latency_p50_s": lat[len(lat) // 2] if lat else 0.0,
+            "latency_p95_s": lat[int(len(lat) * 0.95)] if lat else 0.0,
+            "queued": self._q.qsize(),
+        }
+
+    # ---------------- worker ----------------
+
+    def _drain(self) -> List[Tuple[CompletionRequest, Future, float]]:
+        """Collect up to max_batch same-shape requests, waiting briefly to
+        fill the batch after the first arrival."""
+        try:
+            first = self._q.get(timeout=0.05)
+        except queue.Empty:
+            return []
+        key = _shape_key(first[0])
+        batch = [first]
+        deadline = time.perf_counter() + self.max_wait_s
+        put_back = []
+        while len(batch) < self.max_batch:
+            timeout = deadline - time.perf_counter()
+            if timeout <= 0:
+                break
+            try:
+                item = self._q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if _shape_key(item[0]) == key:
+                batch.append(item)
+            else:
+                put_back.append(item)  # different bucket: next round
+        for item in put_back:
+            self._q.put(item)
+        return batch
+
+    def _worker(self) -> None:
+        import jax.numpy as jnp
+
+        from hortimapping_tpu.data.rays import stack_observations
+        from hortimapping_tpu.optim.lm import shape_pose_joint_opt_batched
+        from hortimapping_tpu.parallel.sharding import pad_to_multiple
+
+        while not self._stop.is_set() or not self._q.empty():
+            batch = self._drain()
+            if not batch:
+                continue
+            reqs = [b[0] for b in batch]
+            futs = [b[1] for b in batch]
+            t_sub = [b[2] for b in batch]
+            try:
+                obs = stack_observations([r.obs for r in reqs])
+                lat0 = jnp.stack([jnp.asarray(r.latent0, jnp.float32) for r in reqs])
+                T0 = jnp.stack([jnp.asarray(r.T_ow0, jnp.float32) for r in reqs])
+                n = len(reqs)
+                if n < self.max_batch:
+                    obs, lat0, T0, _ = pad_to_multiple(obs, lat0, T0, self.max_batch)
+                res = shape_pose_joint_opt_batched(
+                    self.params, self.spec, self.cfg, obs, lat0, T0,
+                    self.cube_radius, reqs[0].pose_known,
+                )
+                # one batched fetch (the sync point; see docs/PERF.md on
+                # per-item fetches over remote-TPU links)
+                T_ows = np.asarray(res.T_ow)
+                latents = np.asarray(res.latent)
+                iters = np.asarray(res.iter_count)
+                failed = np.asarray(res.failed)
+                conv = np.asarray(res.converged)
+                meshes = [None] * n
+                if self.mesher is not None:
+                    T_wo = np.linalg.inv(T_ows[:n])
+                    meshes = self.mesher.complete_mesh_batch(
+                        res.latent[:n], list(T_wo)
+                    )
+                now = time.perf_counter()
+                for i, fut in enumerate(futs):
+                    fut.set_result(CompletionResult(
+                        fruit_id=reqs[i].fruit_id,
+                        latent=latents[i],
+                        T_ow=T_ows[i],
+                        iter_count=int(iters[i]),
+                        failed=bool(failed[i]),
+                        converged=bool(conv[i]),
+                        mesh=meshes[i],
+                        latency_s=now - t_sub[i],
+                        batch_size=n,
+                    ))
+                with self._lock:
+                    self._completed += n
+                    self._latencies.extend(now - t for t in t_sub)
+            except Exception as e:  # deliver the failure to every waiter
+                for fut in futs:
+                    if not fut.done():
+                        fut.set_exception(e)

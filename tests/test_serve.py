@@ -1,0 +1,116 @@
+"""Continuous completion serving (hortimapping_tpu/serve.py)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hortimapping_tpu.config import JointOptConfig
+from hortimapping_tpu.models.workspace import config_decoder
+from hortimapping_tpu.optim.lm import shape_pose_joint_opt_batched
+from hortimapping_tpu.serve import CompletionRequest, CompletionServer
+from hortimapping_tpu.tools.synthetic import SyntheticCategory, make_scene
+
+ASSET_DIR = os.path.join(os.path.dirname(__file__), "..", "assets", "synthetic_small_8")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(ASSET_DIR), reason="synthetic assets not built"
+)
+
+CFG = JointOptConfig(
+    n_fg_pix=32, n_bg_pix=32, n_frame=2, n_sample_on_ray=16,
+    recon_n_pts=64, max_iter=3, lm_lambda_0=0.5,
+)
+
+
+def _requests(spec, n, seed=0):
+    cat = SyntheticCategory(spec=spec)
+    rng = np.random.default_rng(seed)
+    reqs = []
+    for b in range(n):
+        code = rng.normal(size=spec.code_length).astype(np.float32) * 0.3
+        T_wo = np.eye(4, dtype=np.float32)
+        T_wo[:3, 3] = rng.normal(size=3) * 0.05
+        obs, _ = make_scene(
+            cat, code, T_wo, n_frames=CFG.n_frame, n_fg=CFG.n_fg_pix,
+            n_bg=CFG.n_bg_pix, n_points=CFG.recon_n_pts, seed=seed + b,
+        )
+        reqs.append(CompletionRequest(
+            fruit_id=f"fruit_{b:03d}", obs=obs,
+            latent0=np.zeros(spec.code_length, np.float32),
+            T_ow0=np.linalg.inv(T_wo).astype(np.float32),
+        ))
+    return reqs
+
+
+def test_serve_matches_direct_batched_solve():
+    params, spec = config_decoder(ASSET_DIR)
+    reqs = _requests(spec, 5)
+
+    obs = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[r.obs for r in reqs])
+    lat0 = jnp.stack([jnp.asarray(r.latent0) for r in reqs])
+    T0 = jnp.stack([jnp.asarray(r.T_ow0) for r in reqs])
+    want = shape_pose_joint_opt_batched(params, spec, CFG, obs, lat0, T0, 0.1)
+
+    with CompletionServer(params, spec, CFG, cube_radius=0.1, max_batch=5) as srv:
+        futs = [srv.submit(r) for r in reqs]
+        results = [f.result(timeout=300) for f in futs]
+
+    assert [r.fruit_id for r in results] == [r.fruit_id for r in reqs]
+    for i, r in enumerate(results):
+        np.testing.assert_allclose(r.latent, np.asarray(want.latent[i]), atol=1e-5)
+        np.testing.assert_allclose(r.T_ow, np.asarray(want.T_ow[i]), atol=1e-5)
+        assert r.iter_count == int(want.iter_count[i])
+        assert not r.failed
+        assert r.batch_size == 5
+        assert r.latency_s > 0
+
+    stats = srv.stats()
+    assert stats["completed"] == 5
+    assert stats["fruits_per_sec"] > 0
+
+
+def test_serve_partial_batch_padding():
+    """3 requests with max_batch=8: padded lanes must not leak into results."""
+    params, spec = config_decoder(ASSET_DIR)
+    reqs = _requests(spec, 3, seed=42)
+    with CompletionServer(params, spec, CFG, cube_radius=0.1, max_batch=8,
+                          max_wait_s=2.0) as srv:
+        futs = [srv.submit(r) for r in reqs]
+        results = [f.result(timeout=300) for f in futs]
+    assert all(not r.failed for r in results)
+    assert all(r.batch_size == 3 for r in results)
+
+
+def test_serve_multiple_waves_reuse_program():
+    """Two waves through one server: the second wave must not recompile
+    (same shapes -> same executable), observable as a much faster wave."""
+    import time
+
+    params, spec = config_decoder(ASSET_DIR)
+    srv = CompletionServer(params, spec, CFG, cube_radius=0.1, max_batch=4)
+    with srv:
+        t0 = time.perf_counter()
+        [srv.submit(r).result(timeout=300) for r in _requests(spec, 4)]
+        first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        [srv.submit(r).result(timeout=300) for r in _requests(spec, 4, seed=9)]
+        second = time.perf_counter() - t0
+    assert second < first  # compile happened once
+    assert srv.stats()["completed"] == 8
+
+
+def test_serve_meshing():
+    from hortimapping_tpu.ops.mesher import MeshExtractor
+
+    params, spec = config_decoder(ASSET_DIR)
+    mesher = MeshExtractor(params, spec, voxels_dim=24, cube_radius=0.1)
+    reqs = _requests(spec, 2, seed=7)
+    with CompletionServer(params, spec, CFG, cube_radius=0.1, max_batch=2,
+                          mesher=mesher) as srv:
+        results = [srv.submit(r).result(timeout=300) for r in reqs]
+    for r in results:
+        assert r.mesh is not None
+        assert r.mesh.vertices.shape[0] > 0
