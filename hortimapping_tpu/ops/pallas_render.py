@@ -56,17 +56,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from hortimapping_tpu.models.decoder import DecoderSpec, Params
+from hortimapping_tpu.models.decoder import DecoderSpec
 from hortimapping_tpu.ops.pallas_mlp import (
-    _relu_mask,
     LANE,
     PackedSpec,
     _dot_t,
     _fwd_chain,
     _interpret,
-    pack_params,
-    packed_spec,
-    supported,
+    _relu_mask,
 )
 from hortimapping_tpu.ops.sdf import logistic_sigma
 

@@ -425,15 +425,18 @@ def solve_in_chunks(
     T_ow0: jnp.ndarray,
     cube_radius: float,
     pose_known: bool = False,
-    max_batch: int = 16,
+    max_batch: int = 64,
 ) -> OptResult:
     """Batched solve in HBM-safe chunks.
 
-    The dense render forward materializes [B, F, R, M, D] activations in HBM
-    (~230 MB per fruit at the wild-pepper workload), so one fused solve holds
-    ~24 fruits on a 16 GB chip. Large datasets are solved in `max_batch`
-    chunks — the final chunk is padded to `max_batch` so every chunk reuses
-    one compiled program.
+    With the fused render kernel the per-fruit HBM footprint is ~35 MB
+    (sample coords in, per-ray residual/Jacobian blocks out — no dense
+    activation grids), and per-lane convergence gating keeps ms/fruit flat
+    in the batch size (measured 205/204/198 at B = 16/32/64 on the wild
+    workload). Large datasets are solved in `max_batch` chunks — the final
+    chunk is padded to `max_batch` so every chunk reuses one compiled
+    program. The two-pass fallback path (fused_render off) materializes
+    [B, F, R, M, D] activations (~230 MB/fruit); cap max_batch at 16 there.
     """
     B = latent0.shape[0]
     if B <= max_batch:
