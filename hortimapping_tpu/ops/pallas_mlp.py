@@ -162,28 +162,36 @@ def _fwd_kernel(x_ref, w0_ref, wm_ref, wl_ref, p_ref, b0_ref, bm_ref, bl_ref,
     )
 
 
+def input_grad_chain(y, acts, x, wl, wm, w0, p, ps: PackedSpec, cdt):
+    """Input gradient of column 0 of tanh(h @ wl + bl): one reverse chain of
+    `g @ W^T` matmuls with ReLU masks from the saved forward activations.
+    Shared by the two-pass band kernel and the fused render kernel
+    (ops/pallas_render.py) so the frozen-decoder backward can never drift
+    between the two paths. Returns G [T, LANE]."""
+    f32 = jnp.float32
+    col0 = (jax.lax.broadcasted_iota(jnp.int32, y.shape, 1) == 0).astype(f32)
+    g = _dot_t((1.0 - y * y) * col0, wl, cdt)                      # [T, D]
+    grad_x = jnp.zeros_like(x)
+    if ps.n_mid + 1 == ps.li:
+        grad_x = grad_x + _dot_t(g, p, cdt)
+    for j in range(ps.n_mid - 1, -1, -1):
+        g = g * _relu_mask(acts[j + 1])
+        g = _dot_t(g, wm[j], cdt)
+        if j + 1 == ps.li:
+            grad_x = grad_x + _dot_t(g, p, cdt)
+    g = g * _relu_mask(acts[0])
+    return grad_x + _dot_t(g, w0, cdt)
+
+
 def _fwd_grad_kernel(x_ref, w0_ref, wm_ref, wl_ref, p_ref, b0_ref, bm_ref,
                      bl_ref, sdf_ref, grad_ref, *, ps: PackedSpec, cdt):
-    f32 = jnp.float32
     x = x_ref[:]
     acts = []
     y = _fwd_chain(x, w0_ref[:], wm_ref[:], wl_ref[:], p_ref[:],
                    b0_ref[:], bm_ref[:], bl_ref[:], ps, cdt, save=acts)
     sdf_ref[:] = y
-
-    # input gradient of column 0 of tanh(h @ wl + bl)
-    col0 = (jax.lax.broadcasted_iota(jnp.int32, y.shape, 1) == 0).astype(f32)
-    g = _dot_t((1.0 - y * y) * col0, wl_ref[:], cdt)               # [T, D]
-    grad_x = jnp.zeros_like(x)
-    if ps.n_mid + 1 == ps.li:
-        grad_x = grad_x + _dot_t(g, p_ref[:], cdt)
-    for j in range(ps.n_mid - 1, -1, -1):
-        g = g * _relu_mask(acts[j + 1])
-        g = _dot_t(g, wm_ref[j], cdt)
-        if j + 1 == ps.li:
-            grad_x = grad_x + _dot_t(g, p_ref[:], cdt)
-    g = g * _relu_mask(acts[0])
-    grad_ref[:] = grad_x + _dot_t(g, w0_ref[:], cdt)
+    grad_ref[:] = input_grad_chain(y, acts, x, wl_ref[:], wm_ref[:],
+                                   w0_ref[:], p_ref[:], ps, cdt)
 
 
 def _interpret() -> bool:

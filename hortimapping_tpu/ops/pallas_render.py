@@ -60,10 +60,10 @@ from hortimapping_tpu.models.decoder import DecoderSpec
 from hortimapping_tpu.ops.pallas_mlp import (
     LANE,
     PackedSpec,
-    _dot_t,
     _fwd_chain,
     _interpret,
-    _relu_mask,
+    _round_up,
+    input_grad_chain,
 )
 from hortimapping_tpu.ops.sdf import logistic_sigma
 
@@ -76,10 +76,6 @@ import os as _os
 _SKIP = frozenset(filter(None, _os.environ.get("HORTI_FUSED_SKIP", "").split(",")))
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
 def _iota2(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
 
@@ -90,24 +86,6 @@ def _perm128(pairs) -> np.ndarray:
     for s, d in pairs:
         m[s, d] = 1.0
     return m
-
-
-def _backward_input_grad(y, acts, x, wl, wm, w0, p, ps: PackedSpec, cdt):
-    """Reverse chain of `ops/pallas_mlp._fwd_grad_kernel`: per-sample input
-    gradient of tanh-SDF column 0. Returns G [T, LANE]."""
-    f32 = jnp.float32
-    col0 = (_iota2(y.shape, 1) == 0).astype(f32)
-    g = _dot_t((1.0 - y * y) * col0, wl, cdt)
-    grad_x = jnp.zeros_like(x)
-    if ps.n_mid + 1 == ps.li:
-        grad_x = grad_x + _dot_t(g, p, cdt)
-    for j in range(ps.n_mid - 1, -1, -1):
-        g = g * _relu_mask(acts[j + 1])
-        g = _dot_t(g, wm[j], cdt)
-        if j + 1 == ps.li:
-            grad_x = grad_x + _dot_t(g, p, cdt)
-    g = g * _relu_mask(acts[0])
-    return grad_x + _dot_t(g, w0, cdt)
 
 
 def _fused_render_kernel(
@@ -214,7 +192,7 @@ def _fused_render_kernel(
             d_u = jnp.sum(sdf * depths_ref[:], axis=1, keepdims=True)
             res_ref[:] = jnp.broadcast_to(d_u, (TR, LANE))
             w = occ
-            J0 = _backward_input_grad(y, acts, x, wl_ref[:], wm_ref[:], w0_ref[:],
+            J0 = input_grad_chain(y, acts, x, wl_ref[:], wm_ref[:], w0_ref[:],
                                       p_ref[:], ps, cdt) if "bwd" not in _SKIP else x
             jd_ref[:] = jnp.dot(sel, J0 * to_sample(w), preferred_element_type=f32)
             jm_ref[:] = jd_ref[:]
@@ -290,7 +268,7 @@ def _fused_render_kernel(
 
         @pl.when(any_band)
         def _backward():
-            G = _backward_input_grad(y, acts, x, wl_ref[:], wm_ref[:], w0_ref[:],
+            G = input_grad_chain(y, acts, x, wl_ref[:], wm_ref[:], w0_ref[:],
                                      p_ref[:], ps, cdt)                    # [T, LANE]
             xyz_mask = ((lane >= C) & (lane < C + 3)).astype(f32)
             p_lanes = x * xyz_mask                                         # p at lanes C..C+2

@@ -143,7 +143,11 @@ def render_residuals(
     pts_cam = rays[:, None, :] * sampled_depths[None, :, None]          # [R, M, 3]
     pts_obj = pts_cam @ T_oc[:3, :3].T + T_oc[:3, 3]                    # [R, M, 3]
 
-    if cfg.fused and pallas_mlp.supported(spec) and M >= 2:
+    # the fused kernel lane-packs [pose | code] Jacobians into 128 lanes,
+    # so it additionally requires pose_dim + C <= 128 (the dense path below
+    # handles wider codes)
+    if (cfg.fused and pallas_mlp.supported(spec) and M >= 2
+            and cfg.pose_dim + spec.code_length <= 128):
         return _render_residuals_fused(
             params, spec, latent, pts_obj, is_fg, ray_valid, depth_obs,
             sampled_depths, bbx_radius, cfg, lane_active,

@@ -425,7 +425,7 @@ def solve_in_chunks(
     T_ow0: jnp.ndarray,
     cube_radius: float,
     pose_known: bool = False,
-    max_batch: int = 64,
+    max_batch: Optional[int] = None,
 ) -> OptResult:
     """Batched solve in HBM-safe chunks.
 
@@ -433,11 +433,14 @@ def solve_in_chunks(
     (sample coords in, per-ray residual/Jacobian blocks out — no dense
     activation grids), and per-lane convergence gating keeps ms/fruit flat
     in the batch size (measured 205/204/198 at B = 16/32/64 on the wild
-    workload). Large datasets are solved in `max_batch` chunks — the final
-    chunk is padded to `max_batch` so every chunk reuses one compiled
-    program. The two-pass fallback path (fused_render off) materializes
-    [B, F, R, M, D] activations (~230 MB/fruit); cap max_batch at 16 there.
+    workload) — default 64-fruit chunks. The two-pass fallback path
+    (fused off or unsupported decoder) materializes [B, F, R, M, D]
+    activations (~230 MB/fruit at the wild workload), so it caps at 16.
+    The final partial chunk is padded so every chunk reuses one compiled
+    program.
     """
+    if max_batch is None:
+        max_batch = 64 if cfg.fused_resolved() else 16
     B = latent0.shape[0]
     if B <= max_batch:
         return shape_pose_joint_opt_batched(

@@ -105,7 +105,10 @@ class CompletionServer:
         self._thread: Optional[threading.Thread] = None
         self._lock = threading.Lock()
         self._completed = 0
-        self._latencies: List[float] = []
+        # bounded: a continuous server must not grow host memory with age
+        from collections import deque
+
+        self._latencies = deque(maxlen=4096)
         self._started_at: Optional[float] = None
 
     # ---------------- lifecycle ----------------
@@ -123,6 +126,14 @@ class CompletionServer:
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+        # fail anything that raced the shutdown instead of hanging its waiter
+        while True:
+            try:
+                _req, fut, _t = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("CompletionServer stopped"))
 
     def __enter__(self) -> "CompletionServer":
         return self.start()
@@ -133,6 +144,8 @@ class CompletionServer:
     # ---------------- API ----------------
 
     def submit(self, req: CompletionRequest) -> "Future[CompletionResult]":
+        if self._stop.is_set() or self._thread is None:
+            raise RuntimeError("CompletionServer is not running (call start())")
         fut: "Future[CompletionResult]" = Future()
         self._q.put((req, fut, time.perf_counter()))
         return fut
@@ -152,14 +165,26 @@ class CompletionServer:
 
     # ---------------- worker ----------------
 
+    def _safe_key(self, item) -> Optional[Tuple]:
+        """Shape key, or None after failing the request's future (a malformed
+        observation pytree must not kill the worker thread or hang a waiter)."""
+        try:
+            return _shape_key(item[0])
+        except Exception as e:
+            if not item[1].done():
+                item[1].set_exception(e)
+            return None
+
     def _drain(self) -> List[Tuple[CompletionRequest, Future, float]]:
         """Collect up to max_batch same-shape requests, waiting briefly to
         fill the batch after the first arrival."""
-        try:
-            first = self._q.get(timeout=0.05)
-        except queue.Empty:
-            return []
-        key = _shape_key(first[0])
+        key = None
+        while key is None:
+            try:
+                first = self._q.get(timeout=0.05)
+            except queue.Empty:
+                return []
+            key = self._safe_key(first)
         batch = [first]
         deadline = time.perf_counter() + self.max_wait_s
         put_back = []
@@ -171,7 +196,10 @@ class CompletionServer:
                 item = self._q.get(timeout=timeout)
             except queue.Empty:
                 break
-            if _shape_key(item[0]) == key:
+            k = self._safe_key(item)
+            if k is None:
+                continue
+            if k == key:
                 batch.append(item)
             else:
                 put_back.append(item)  # different bucket: next round
@@ -188,6 +216,8 @@ class CompletionServer:
 
         while not self._stop.is_set() or not self._q.empty():
             batch = self._drain()
+            # honor client-side Future.cancel() before paying for the lane
+            batch = [b for b in batch if b[1].set_running_or_notify_cancel()]
             if not batch:
                 continue
             reqs = [b[0] for b in batch]
@@ -219,6 +249,8 @@ class CompletionServer:
                     )
                 now = time.perf_counter()
                 for i, fut in enumerate(futs):
+                    if fut.done():  # e.g. cancelled by the client meanwhile
+                        continue
                     fut.set_result(CompletionResult(
                         fruit_id=reqs[i].fruit_id,
                         latent=latents[i],
