@@ -1,0 +1,106 @@
+"""TPU-native DeepSDF trainer (hortimapping_tpu/train/deepsdf.py)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hortimapping_tpu.models.decoder import DecoderSpec, decoder_sdf
+from hortimapping_tpu.models.workspace import config_decoder, load_latent_vectors
+from hortimapping_tpu.train import load_sdf_samples, train_deepsdf
+
+
+def _make_dataset(root, n_scenes=6, n_pos=3000, n_neg=3000, seed=0):
+    """SdfSamples from analytic spheres of differing radii — ground truth is
+    exact, so the trained decoder + per-scene codes must reproduce the radii."""
+    os.makedirs(os.path.join(root, "SdfSamples"), exist_ok=True)
+    rng = np.random.default_rng(seed)
+    radii = 0.05 + 0.03 * rng.random(n_scenes)
+    for s in range(n_scenes):
+        r = radii[s]
+        pts = rng.normal(size=(n_pos + n_neg, 3))
+        pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
+        pts *= r * (1.0 + rng.normal(size=(n_pos + n_neg, 1)) * 0.3)
+        sdf = np.linalg.norm(pts, axis=-1) - r
+        samples = np.concatenate([pts, sdf[:, None]], axis=-1).astype(np.float32)
+        np.savez(
+            os.path.join(root, "SdfSamples", f"sphere_{s:02d}.npz"),
+            pos=samples[sdf >= 0], neg=samples[sdf < 0],
+        )
+    return radii
+
+
+def _make_experiment(root, data_source):
+    os.makedirs(root, exist_ok=True)
+    specs = {
+        "Description": "test spheres",
+        "DataSource": data_source,
+        "CodeLength": 4,
+        "NetworkSpecs": {"dims": [48, 48, 48], "latent_in": [1],
+                         "dropout": [], "dropout_prob": 0.0,
+                         "norm_layers": [], "latent_dropout": False,
+                         "weight_norm": True, "xyz_in_all": False,
+                         "use_tanh": False},
+        "ClampingDistance": 0.1,
+        "NumEpochs": 60,
+        "ScenesPerBatch": 6,
+        "SamplesPerScene": 1024,
+        "CodeRegularization": True,
+        "CodeRegularizationLambda": 1e-4,
+        "CodeInitStdDev": 0.01,
+        "LearningRateSchedule": [
+            {"Type": "Step", "Initial": 2e-3, "Interval": 30, "Factor": 0.5},
+            {"Type": "Step", "Initial": 5e-3, "Interval": 30, "Factor": 0.5},
+        ],
+    }
+    with open(os.path.join(root, "specs.json"), "w") as f:
+        json.dump(specs, f)
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    data = str(tmp_path_factory.mktemp("sdf_data"))
+    exp = str(tmp_path_factory.mktemp("experiment"))
+    radii = _make_dataset(data)
+    _make_experiment(exp, data)
+    res = train_deepsdf(exp, log=lambda *a: None)
+    return exp, radii, res
+
+
+def test_loader_shapes(tmp_path):
+    radii = _make_dataset(str(tmp_path), n_scenes=3)
+    pos, pos_n, neg, neg_n, names = load_sdf_samples(str(tmp_path))
+    assert pos.shape[0] == 3 and pos.shape[2] == 4
+    assert len(names) == 3
+    assert (pos_n > 0).all() and (neg_n > 0).all()
+    # padded region is zero
+    assert pos[0, pos_n[0]:].sum() == 0.0
+
+
+def test_training_converges(trained):
+    _, _, res = trained
+    assert res.losses[-1] < 0.4 * res.losses[0], (
+        f"loss did not drop: {res.losses[0]:.4f} -> {res.losses[-1]:.4f}")
+    assert res.latent_codes.shape == (6, 4)
+
+
+def test_checkpoint_roundtrip_and_fit(trained):
+    """The saved experiment is directly consumable by the inference loaders,
+    and the learned (decoder, code) pairs reproduce each sphere's surface."""
+    exp, radii, res = trained
+    params, spec = config_decoder(exp)
+    codes = load_latent_vectors(exp)
+    assert codes.shape == (6, spec.code_length)
+
+    dirs = np.random.default_rng(1).normal(size=(200, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    errs = []
+    for s, r in enumerate(radii):
+        pts = jnp.asarray((dirs * r).astype(np.float32))
+        sdf = np.asarray(decoder_sdf(params, spec, codes[s], pts))
+        errs.append(np.abs(sdf).mean())
+    # surface SDF within a few mm on 5-8 cm spheres
+    assert np.mean(errs) < 0.008, f"surface errors {np.round(errs, 4)}"
