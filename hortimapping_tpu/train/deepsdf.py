@@ -126,6 +126,7 @@ def train_deepsdf(
     seed: int = 0,
     save: bool = True,
     checkpoint: str = "latest",
+    mesh=None,
     log=print,
 ) -> TrainResult:
     """Train a DeepSDF decoder + latent table from an experiment directory.
@@ -136,6 +137,14 @@ def train_deepsdf(
     trains on `<data_source>/SdfSamples`, and writes the native checkpoint
     + latent-code table consumed by `models.workspace.config_decoder` and
     `load_latent_vectors`.
+
+    With `mesh` (a 1-D `jax.sharding.Mesh`, e.g. `parallel.fruit_mesh()`),
+    training is data-parallel over the mesh: each device draws its share of
+    the scene batch (device-folded RNG), gradients are `pmean`-reduced, and
+    the identical optimizer update runs replicated — decoder (~1.8 M params)
+    and sample banks are replicated, which is the right sharding at fruit
+    scale (parameter sharding is never warranted; SURVEY.md section 5,
+    distributed backend).
     """
     import jax
     import jax.numpy as jnp
@@ -167,6 +176,9 @@ def train_deepsdf(
     scenes_per_batch = min(scenes_per_batch, S)
     steps_per_epoch = max(1, S // scenes_per_batch)
     half = samples_per_scene // 2
+    n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+    # per-device share of the global scene batch (global batch preserved)
+    scenes_local = max(1, scenes_per_batch // n_shards)
 
     key = jax.random.PRNGKey(seed)
     params = init_decoder_params(spec, key)
@@ -189,13 +201,13 @@ def train_deepsdf(
         kp, kn = jax.random.split(k)
 
         def draw(bank, counts, kk):
-            idx = jax.random.randint(kk, (scenes_per_batch, half), 0, 1 << 30)
+            idx = jax.random.randint(kk, (scenes_local, half), 0, 1 << 30)
             idx = idx % jnp.maximum(counts[scene_ids], 1)[:, None]
             return jax.vmap(lambda b, i: b[i])(bank[scene_ids], idx)
 
         return jnp.concatenate(
             [draw(pos_d, pos_nd, kp), draw(neg_d, neg_nd, kn)], axis=1
-        )  # [B, samples_per_scene(~), 4]
+        )  # [B_local, samples_per_scene(~), 4]
 
     def epoch_fn(carry, epoch):
         params, codes, net_state, cod_state, k = carry
@@ -205,8 +217,11 @@ def train_deepsdf(
 
         def step_fn(carry, step_key):
             params, codes, net_state, cod_state = carry
+            if mesh is not None:
+                # each device draws its own scenes; everything else replicated
+                step_key = jax.random.fold_in(step_key, jax.lax.axis_index("fruit"))
             ks, kd = jax.random.split(step_key)
-            scene_ids = jax.random.randint(ks, (scenes_per_batch,), 0, S)
+            scene_ids = jax.random.randint(ks, (scenes_local,), 0, S)
             samples = scene_batch(kd, scene_ids)            # [B, n, 4]
             xyz, sdf_gt = samples[..., :3], samples[..., 3]
             sdf_gt = jnp.clip(sdf_gt, -clamp, clamp)
@@ -224,6 +239,11 @@ def train_deepsdf(
                 return data + reg
 
             loss, (g_par, g_cod) = jax.value_and_grad(loss_fn, argnums=(0, 1))(params, codes)
+            if mesh is not None:
+                # the only collective: mean-reduce grads (and the logged
+                # loss) over the data axis; the replicated update keeps
+                # every device's params/codes/optimizer state in lockstep
+                g_par, g_cod, loss = jax.lax.pmean((g_par, g_cod, loss), "fruit")
             up, net_state2 = net_opt.update(g_par, net_state)
             params = optax.apply_updates(params, jax.tree_util.tree_map(lambda u: net_lr * u, up))
             upc, cod_state2 = cod_opt.update(g_cod, cod_state)
@@ -240,7 +260,19 @@ def train_deepsdf(
         )
         return (params, codes, net_state, cod_state, k), jnp.mean(losses)
 
-    run_epoch = jax.jit(epoch_fn)
+    if mesh is None:
+        run_epoch = jax.jit(epoch_fn)
+    else:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        # all state replicated; per-device divergence comes only from the
+        # axis_index-folded RNG inside step_fn, and pmean re-syncs gradients
+        run_epoch = jax.jit(shard_map(
+            epoch_fn, mesh=mesh,
+            in_specs=(P(), P()), out_specs=(P(), P()),
+            check_rep=False,
+        ))
     carry = (params, codes0, net_state, cod_state, key)
     losses = []
     t0 = time.time()

@@ -104,3 +104,19 @@ def test_checkpoint_roundtrip_and_fit(trained):
         errs.append(np.abs(sdf).mean())
     # surface SDF within a few mm on 5-8 cm spheres
     assert np.mean(errs) < 0.008, f"surface errors {np.round(errs, 4)}"
+
+
+def test_training_data_parallel_mesh(tmp_path):
+    """Data-parallel training over the 8-device mesh: gradients pmean-sync,
+    state stays replicated, loss converges like the single-device run."""
+    from hortimapping_tpu.parallel import fruit_mesh
+
+    data = str(tmp_path / "data")
+    exp = str(tmp_path / "exp")
+    _make_dataset(data, n_scenes=6)
+    _make_experiment(exp, data)
+    res = train_deepsdf(exp, num_epochs=40, mesh=fruit_mesh(8), save=False,
+                        log=lambda *a: None)
+    assert np.isfinite(res.losses).all()
+    assert res.losses[-1] < 0.5 * res.losses[0], (
+        f"DP loss did not drop: {res.losses[0]:.4f} -> {res.losses[-1]:.4f}")
