@@ -271,7 +271,7 @@ def train_deepsdf(
         run_epoch = jax.jit(shard_map(
             epoch_fn, mesh=mesh,
             in_specs=(P(), P()), out_specs=(P(), P()),
-            check_rep=False,
+            check_vma=False,
         ))
     carry = (params, codes0, net_state, cod_state, key)
     losses = []
