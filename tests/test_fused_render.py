@@ -76,6 +76,33 @@ def test_fused_matches_dense(world, scale_on, log_occ):
     _compare(params, latent, base)
 
 
+def test_fused_no_latent_in_skip(world):
+    """Architecture without the latent_in re-concat exercises the ps.li=0
+    branches of the forward and backward chains."""
+    spec = DecoderSpec(code_length=8, dims=(128,) * 3, latent_in=(),
+                       clamping_distance=0.1)
+    params = init_decoder_params(spec, jax.random.PRNGKey(2))
+    latent = jax.random.normal(jax.random.PRNGKey(3), (spec.code_length,)) * 0.05
+    rays, depth_obs, T_oc, depths = _scene(4)
+    R = rays.shape[0]
+    base = RenderConfig(scale_on=True, occ_cutoff=0.15, occlusion_on=True,
+                        min_valid_sample=10)
+    args = (
+        params, spec, latent, jnp.asarray(rays), jnp.arange(R) < 24,
+        jnp.ones(R, bool), jnp.asarray(depth_obs), jnp.asarray(T_oc),
+        jnp.asarray(depths), jnp.float32(0.12),
+    )
+    want = render_residuals(*args, base)
+    got = render_residuals(
+        *args, dataclasses.replace(base, fused=True, fused_bf16=False)
+    )
+    np.testing.assert_array_equal(np.asarray(got.ray_ok), np.asarray(want.ray_ok))
+    for name in ("res_d", "res_m", "jac_d", "jac_m"):
+        a, b = np.asarray(getattr(got, name)), np.asarray(getattr(want, name))
+        scale = max(np.max(np.abs(b)), 1e-6)
+        np.testing.assert_allclose(a, b, atol=2e-4 * scale, err_msg=name)
+
+
 def test_fused_occlusion_off(world):
     params, latent = world
     base = RenderConfig(scale_on=True, occ_cutoff=0.15, occlusion_on=False,

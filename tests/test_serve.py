@@ -114,3 +114,34 @@ def test_serve_meshing():
     for r in results:
         assert r.mesh is not None
         assert r.mesh.vertices.shape[0] > 0
+
+
+def test_serve_mixed_shape_buckets():
+    """Requests with two different observation shapes must be packed into
+    separate batches (one compiled executable per shape bucket)."""
+    params, spec = config_decoder(ASSET_DIR)
+    reqs_a = _requests(spec, 2, seed=1)
+
+    # second bucket: a different frame count changes the observation shapes
+    # (the solver's frame axis is shape-driven; cfg.n_frame only guides
+    # host-side packing)
+    cat = SyntheticCategory(spec=spec)
+    rng = np.random.default_rng(5)
+    reqs_b = []
+    for b in range(2):
+        code = rng.normal(size=spec.code_length).astype(np.float32) * 0.3
+        T_wo = np.eye(4, dtype=np.float32)
+        obs, _ = make_scene(cat, code, T_wo, n_frames=3, n_fg=CFG.n_fg_pix,
+                            n_bg=CFG.n_bg_pix, n_points=CFG.recon_n_pts, seed=50 + b)
+        reqs_b.append(CompletionRequest(
+            fruit_id=f"b_{b}", obs=obs,
+            latent0=np.zeros(spec.code_length, np.float32),
+            T_ow0=np.linalg.inv(T_wo).astype(np.float32)))
+
+    with CompletionServer(params, spec, CFG, cube_radius=0.1, max_batch=8,
+                          max_wait_s=1.0) as srv:
+        futs = [srv.submit(r) for r in reqs_a + reqs_b]
+        results = [f.result(timeout=600) for f in futs]
+    # each bucket solved with only its own lanes
+    assert all(r.batch_size == 2 for r in results)
+    assert all(not r.failed for r in results)
