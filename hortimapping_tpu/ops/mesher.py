@@ -65,10 +65,10 @@ class MeshExtractor:
         from hortimapping_tpu.ops import pallas_mlp
 
         if use_pallas is None:
-            # measured on v5e at 40^3: the XLA path wins (218 vs 246 ms for
-            # a 16-fruit batch) — the kernel's win on the decode is offset
-            # by its padded-input materialization at this small grid size.
-            # Revisit for 80^3 berry grids where decode FLOPs dominate.
+            # measured on v5e: the XLA path wins at both grid sizes (16-fruit
+            # batch: 218 vs 246 ms at 40^3, 1187 vs 1301 ms at 80^3) — the
+            # kernel's decode win is offset by its padded [N, 128] input
+            # materialization. Knob kept for re-evaluation on other chips.
             use_pallas = False
         if use_pallas and pallas_mlp.supported(spec):
             packed = pallas_mlp.pack_params(params, spec, jnp.bfloat16)
