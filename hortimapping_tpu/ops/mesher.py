@@ -65,19 +65,22 @@ class MeshExtractor:
         from hortimapping_tpu.ops import pallas_mlp
 
         if use_pallas is None:
-            # measured on v5e: the XLA path wins at both grid sizes (16-fruit
-            # batch: 218 vs 246 ms at 40^3, 1187 vs 1301 ms at 80^3) — the
-            # kernel's decode win is offset by its padded [N, 128] input
-            # materialization. Knob kept for re-evaluation on other chips.
+            # measured on v5e (16-fruit batch, decode+fetch+iso-surface):
+            # XLA wins at both grid sizes — 178 vs 193 ms at 40^3, 1284 vs
+            # 1362 ms at 80^3 even with the shared-latent kernel building
+            # its input in VMEM. XLA's conv-fused forward simply pipelines
+            # better for a pure decode (no backward to fuse with); the
+            # Pallas render kernel wins only where it removes the
+            # sort/gather machinery and duplicates (optim hot path).
             use_pallas = False
         if use_pallas and pallas_mlp.supported(spec):
             packed = pallas_mlp.pack_params(params, spec, jnp.bfloat16)
             pps = pallas_mlp.packed_spec(spec)
 
             def _decode_grid(latent):
-                lat = jnp.broadcast_to(latent, self.voxel_points.shape[:1] + latent.shape)
-                inp = jnp.concatenate([lat, self.voxel_points], axis=-1)
-                return pallas_mlp.mlp_sdf(packed, pps, inp)
+                return pallas_mlp.mlp_sdf_shared_latent(
+                    packed, pps, latent, self.voxel_points
+                )
         else:
 
             def _decode_grid(latent):

@@ -286,3 +286,83 @@ class PallasDecoder:
 
     def sdf_and_input_grad(self, inputs: jnp.ndarray):
         return mlp_sdf_and_input_grad(self.packed_f32, self.ps, inputs, False, self.tile)
+
+
+def _shared_latent_kernel(px_ref, py_ref, pz_ref, lat_ref,
+                          w0_ref, wm_ref, wl_ref, p_ref, b0_ref, bm_ref, bl_ref,
+                          out_ref, *, ps: PackedSpec, cdt, rows: int, cols: int, C: int):
+    """Forward chain over a [rows, cols] grid of points sharing one latent.
+
+    The [T, LANE] MLP input is built in VMEM (latent broadcast + coordinate
+    placement by lane masks), so HBM only carries the compact [rows, cols]
+    coordinate planes — the generic `mlp_sdf` path materializes a padded
+    [N, 128] input in HBM, which costs more than the decode it feeds
+    (measured on the 40^3/80^3 mesher grids)."""
+    f32 = jnp.float32
+    T = rows * cols
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T, LANE), 1)
+    # row-major [rows, cols] <-> sample-major [T, 1] via selector matmuls
+    # (Mosaic cannot shape-cast across the sublane/lane split)
+    sel2 = (jax.lax.broadcasted_iota(jnp.int32, (T, rows), 0) // cols
+            == jax.lax.broadcasted_iota(jnp.int32, (T, rows), 1)).astype(f32)
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (T, cols), 0) % cols
+              == jax.lax.broadcasted_iota(jnp.int32, (T, cols), 1)).astype(f32)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (rows, T), 1) // cols
+           == jax.lax.broadcasted_iota(jnp.int32, (rows, T), 0)).astype(f32)
+
+    def to_sample(v):
+        return jnp.sum(jnp.dot(sel2, v.astype(f32), preferred_element_type=f32)
+                       * onehot, axis=1, keepdims=True)
+
+    x = (
+        jnp.broadcast_to(lat_ref[:], (T, LANE))
+        + to_sample(px_ref[:]) * (lane == C).astype(f32)
+        + to_sample(py_ref[:]) * (lane == C + 1).astype(f32)
+        + to_sample(pz_ref[:]) * (lane == C + 2).astype(f32)
+    )
+    y = _fwd_chain(x, w0_ref[:], wm_ref[:], wl_ref[:], p_ref[:],
+                   b0_ref[:], bm_ref[:], bl_ref[:], ps, cdt)
+    sdf_s = jnp.sum(y * (lane == 0).astype(f32), axis=1, keepdims=True)
+    out_ref[:] = jnp.dot(sel, sdf_s * onehot, preferred_element_type=f32)
+
+
+def mlp_sdf_shared_latent(
+    packed: Tuple[jnp.ndarray, ...],
+    ps: PackedSpec,
+    latent: jnp.ndarray,   # [C]
+    pts: jnp.ndarray,      # [N, 3]
+    bf16: bool = True,
+    rows_per_tile: int = 16,
+    cols: int = 32,
+) -> jnp.ndarray:
+    """(N, 3) points sharing one latent -> (N,) tanh SDF values."""
+    N = pts.shape[0]
+    C = latent.shape[-1]
+    f32 = jnp.float32
+    per_tile = rows_per_tile * cols
+    n_rows = _round_up(max(N, per_tile), per_tile) // cols
+    planes = []
+    for k in range(3):
+        v = jnp.zeros((n_rows * cols,), f32).at[:N].set(pts[:, k])
+        planes.append(v.reshape(n_rows, cols))
+    lat = jnp.zeros((1, LANE), f32).at[0, :C].set(latent)
+    cdt = jnp.bfloat16 if bf16 else jnp.float32
+    kernel = functools.partial(
+        _shared_latent_kernel, ps=ps, cdt=cdt, rows=rows_per_tile, cols=cols, C=C
+    )
+    vm = pltpu.VMEM
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_rows, cols), jnp.float32),
+        grid=(n_rows // rows_per_tile,),
+        in_specs=[
+            pl.BlockSpec((rows_per_tile, cols), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec((rows_per_tile, cols), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec((rows_per_tile, cols), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec((1, LANE), lambda i: (0, 0), memory_space=vm),
+            *[pl.BlockSpec(memory_space=vm) for _ in range(7)],
+        ],
+        out_specs=pl.BlockSpec((rows_per_tile, cols), lambda i: (i, 0), memory_space=vm),
+        interpret=_interpret(),
+    )(*planes, lat, *packed)
+    return out.reshape(-1)[:N]

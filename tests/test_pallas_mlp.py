@@ -90,3 +90,18 @@ def test_bf16_fwd_close(world):
     want = decoder_apply(params, SPEC, inputs)[..., 0]
     # tanh output in [-1, 1]: bf16 matmul chain stays within ~1e-2 absolute
     assert float(jnp.max(jnp.abs(got - want))) < 2e-2
+
+
+def test_shared_latent_matches_xla(world):
+    params, _ = world
+    latent = jnp.asarray(np.random.default_rng(4).normal(size=SPEC.code_length),
+                         jnp.float32) * 0.2
+    pts = jnp.asarray(np.random.default_rng(5).normal(size=(777, 3)) * 0.3,
+                      jnp.float32)
+    packed = pallas_mlp.pack_params(params, SPEC, jnp.float32)
+    ps = pallas_mlp.packed_spec(SPEC)
+    got = pallas_mlp.mlp_sdf_shared_latent(packed, ps, latent, pts, bf16=False)
+    from hortimapping_tpu.models.decoder import decoder_sdf
+
+    want = decoder_sdf(params, SPEC, latent, pts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
