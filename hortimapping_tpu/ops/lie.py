@@ -11,10 +11,17 @@ TPU-first notes:
     (no data-dependent Python branching), so everything traces once and vmaps
     over fruit batches.
   * The small-angle limits are the true Taylor limits. The reference returns
-    J = I at theta <= 1e-8 (`utils.py:241-243`) and, for Sim(3), c = 0 at
-    s <= 1e-8 inside the theta > eps branch (`utils.py:314`) — the latter is a
-    reference quirk whose correct limit is c -> 1; the deviation only matters
-    within ~1e-8 of the branch point.
+    J = I at theta <= 1e-8 (`utils.py:241-243`).
+  * Sim(3) has TWO variants. The reference sets c = 0 whenever s <= 1e-8
+    inside the theta > eps branch (`utils.py:314`) — not just at the branch
+    point: EVERY negative log-scale increment drops the c*I term of the
+    translation Jacobian (true value c ~= 1), so the reference's "exponential"
+    is not the Sim(3) exponential for s < 0. Since roughly half of all LM
+    scale steps are negative, this measurably shapes the published method's
+    optimizer trajectories. `exp_sim3_ref` replicates it bit-for-bit (used by
+    the LM update for trajectory parity with the reference,
+    tests/test_reference_parity.py); `exp_sim3` is the mathematically exact
+    map (used everywhere a true exponential is meant).
 """
 
 from __future__ import annotations
@@ -114,6 +121,59 @@ def exp_sim3(x: jnp.ndarray) -> jnp.ndarray:
     # in f32 near theta -> 0 and s -> 0.
     X = W + s[..., None, None] * eye
     t = (_v_matrix_series(X) @ v[..., None])[..., 0]
+
+    T = jnp.zeros(x.shape[:-1] + (4, 4), x.dtype)
+    T = T.at[..., :3, :3].set(e_s[..., None, None] * R)
+    T = T.at[..., :3, 3].set(t)
+    T = T.at[..., 3, 3].set(1.0)
+    return T
+
+
+def exp_sim3_ref(x: jnp.ndarray) -> jnp.ndarray:
+    """Reference-compatible sim(3) "exponential" (`utils.py:279-324`).
+
+    Replicates the reference closed form INCLUDING its quirk: inside the
+    theta > eps branch, c = 0 for every s <= 1e-8 (`utils.py:314`) instead of
+    the true limit (e^s - 1)/s -> 1, so translation updates shrink whenever
+    the scale increment is negative. The c division keeps the reference's
+    operation order ((e^s - 1)/s, catastrophic cancellation and all) so f32
+    rounding matches torch. Used by the LM manifold update
+    (`optim/lm.py`) so trajectories and iteration counts track the reference;
+    use `exp_sim3` when the true exponential is intended.
+    """
+    v, w, s = x[..., :3], x[..., 3:6], x[..., 6]
+    theta = jnp.linalg.norm(w, axis=-1)
+    small = theta <= _EPS
+    theta_safe = jnp.where(small, 1.0, theta)
+    t2 = theta_safe * theta_safe
+    e_s = jnp.exp(s)
+    sin_t = jnp.sin(theta)
+    cos_t = jnp.cos(theta)
+
+    W = skew(w)
+    W2 = W @ W
+    eye = jnp.eye(3, dtype=x.dtype)
+    A = jnp.where(small, 0.0, sin_t / theta_safe)          # utils.py:311
+    B = jnp.where(small, 0.0, (1.0 - cos_t) / t2)
+    R = eye + A[..., None, None] * W + B[..., None, None] * W2
+
+    s_safe = jnp.where(s == 0.0, 1.0, s)
+    c_div = (e_s - 1.0) / s_safe                           # torch's op order
+    c_small = jnp.where(s == 0.0, 1.0, c_div)              # utils.py:302-309
+    c_big = jnp.where(s <= _EPS, 0.0, c_div)               # utils.py:314 quirk
+    denom = s * s + t2
+    a = e_s * sin_t
+    b = e_s * cos_t
+    k1 = (a * s + (1.0 - b) * theta) / denom               # utils.py:316
+    k2 = c_big - ((b - 1.0) * s + a * theta) / denom       # utils.py:317
+    j_big = (
+        c_big[..., None, None] * eye
+        + (k1 / theta_safe)[..., None, None] * W
+        + (k2 / t2)[..., None, None] * W2
+    )
+    j_small = c_small[..., None, None] * eye
+    j = jnp.where(small[..., None, None], j_small, j_big)
+    t = (j @ v[..., None])[..., 0]
 
     T = jnp.zeros(x.shape[:-1] + (4, 4), x.dtype)
     T = T.at[..., :3, :3].set(e_s[..., None, None] * R)

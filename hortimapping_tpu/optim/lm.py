@@ -34,7 +34,7 @@ import numpy as np
 
 from hortimapping_tpu.config import JointOptConfig
 from hortimapping_tpu.models.decoder import DecoderSpec, Params
-from hortimapping_tpu.ops.lie import exp_se3, exp_sim3, rotation_matrix_to_angle
+from hortimapping_tpu.ops.lie import exp_se3, exp_sim3_ref, rotation_matrix_to_angle
 from hortimapping_tpu.ops.recon import sdf_residuals
 from hortimapping_tpu.ops.render import RenderConfig, RenderResiduals, render_residuals
 from hortimapping_tpu.ops.robust import huber_weights
@@ -81,26 +81,31 @@ def _term_normal_eq(
     return H, b
 
 
-def lm_iteration(
+def normal_equations(
     params: Params,
     spec: DecoderSpec,
     cfg: JointOptConfig,
     obs: FruitObservations,
-    state: OptState,
+    latent: jnp.ndarray,
+    T_ow: jnp.ndarray,
+    i: jnp.ndarray,
     cube_radius: float,
-    pose_known: bool,
-) -> OptState:
-    """One LM iteration (reference: the body of optimizer.py:88-292)."""
+    lane_active: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Assemble the damped normal equations (H, b) plus the `failed` flag.
+
+    Reference: `optimizer.py:95-231` — render term over sampled frames,
+    SDF reconstruction term, code regularizer block, scale damping, LM
+    diag/identity damping, each normalized by its dynamic observation count.
+    Exposed separately from `lm_iteration` so differential tests can compare
+    H/b head-to-head against the reference implementation.
+    """
     pose_dim = cfg.pose_dim
-    C = state.latent.shape[0]
+    C = latent.shape[0]
     D = pose_dim + C
     f32 = jnp.float32
-    i = state.i
-    latent, T_ow = state.latent, state.T_ow
-    # frozen lanes keep stepping in the shared batched while_loop but their
-    # outputs are discarded (_freeze_if_done) — tell the fused render kernel
-    # to skip their compute entirely
-    lane_active = ~(state.done | state.failed)
+    if lane_active is None:
+        lane_active = jnp.asarray(True)
 
     cur_scale = jnp.linalg.det(T_ow[:3, :3]) ** (-1.0 / 3.0)  # optimizer.py:66
 
@@ -167,6 +172,30 @@ def lm_iteration(
         else:
             H = H + cfg.lm_lambda_0 * jnp.diag(jnp.diag(H))    # optimizer.py:225
     b = b_d + b_m + b_r + b_c
+    return H, b, failed
+
+
+def lm_iteration(
+    params: Params,
+    spec: DecoderSpec,
+    cfg: JointOptConfig,
+    obs: FruitObservations,
+    state: OptState,
+    cube_radius: float,
+    pose_known: bool,
+) -> OptState:
+    """One LM iteration (reference: the body of optimizer.py:88-292)."""
+    pose_dim = cfg.pose_dim
+    i = state.i
+    latent, T_ow = state.latent, state.T_ow
+    # frozen lanes keep stepping in the shared batched while_loop but their
+    # outputs are discarded (_freeze_if_done) — tell the fused render kernel
+    # to skip their compute entirely
+    lane_active = ~(state.done | state.failed)
+
+    H, b, failed = normal_equations(
+        params, spec, cfg, obs, latent, T_ow, i, cube_radius, lane_active
+    )
 
     # ---------------- solve + manifold update (optimizer.py:234-248) ----------------
     with jax.named_scope("solve_update"):
@@ -175,7 +204,9 @@ def lm_iteration(
         delta = delta.at[:6].set(0.0)                          # optimizer.py:237-239
     delta_p = delta[:pose_dim]
     delta_c = delta[pose_dim:]
-    delta_T = exp_sim3(delta_p) if cfg.scale_on else exp_se3(delta_p)
+    # exp_sim3_ref replicates the reference's c=0-for-(s <= eps) translation
+    # Jacobian quirk (`utils.py:314`) — required for trajectory parity
+    delta_T = exp_sim3_ref(delta_p) if cfg.scale_on else exp_se3(delta_p)
     T_new = delta_T @ T_ow
     latent_new = latent + delta_c
 

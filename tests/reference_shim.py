@@ -1,0 +1,173 @@
+"""Import the ACTUAL reference implementation from /root/reference on CPU.
+
+The reference hard-wires `.cuda()` calls (`loss.py:33,55,83,...`,
+`utils.py:162,204,...`) and imports libraries absent from this environment
+(open3d, skimage, addict, plyfile). This shim stubs the missing modules and
+no-ops `.cuda()` so the genuine reference functions — not clean-room mirrors
+— run on CPU torch for differential testing (SURVEY.md §7: "recorded-fixture
+differential test against PyTorch at every intermediate").
+
+Only numeric functions are exercised, on fixtures we construct ourselves.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+import torch
+
+REFERENCE_ROOT = "/root/reference"
+_installed = False
+
+
+def _stub_module(name: str, **attrs) -> types.ModuleType:
+    if name in sys.modules:
+        return sys.modules[name]
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+def install() -> None:
+    """Stub missing deps, add the reference to sys.path, no-op .cuda()."""
+    global _installed
+    if _installed:
+        return
+
+    class _AttrDict(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:  # pragma: no cover
+                raise AttributeError(k) from e
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+    _stub_module("addict", Dict=_AttrDict)
+    _stub_module("plyfile")
+    _stub_module("open3d")
+    sk = _stub_module("skimage")
+    sk.measure = _stub_module("skimage.measure")
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+
+    # the reference cannot run CPU-only as written (SURVEY.md §1 note);
+    # identity .cuda() keeps every tensor on the host
+    torch.Tensor.cuda = lambda self, *a, **k: self  # type: ignore[method-assign]
+    torch.nn.Module.cuda = lambda self, *a, **k: self  # type: ignore[method-assign]
+    torch.cuda.synchronize = lambda *a, **k: None  # get_time(), utils.py:614-619
+    _installed = True
+
+
+def import_reference():
+    """Returns (loss, utils, optimizer) — the real reference modules."""
+    install()
+    import wild_completion.loss as ref_loss
+    import wild_completion.optimizer as ref_optimizer
+    import wild_completion.utils as ref_utils
+
+    return ref_loss, ref_utils, ref_optimizer
+
+
+def make_reference_decoder(spec, seed: int = 0):
+    """Instantiate the REAL reference Decoder class with random weight-norm
+    weights matching `spec` (`deepsdf/networks/deep_sdf_decoder.py:10-110`),
+    plus the state dict to convert for the JAX side.
+    """
+    install()
+    from deepsdf.networks.deep_sdf_decoder import Decoder  # /root/reference
+    from tests.torch_ref import make_torch_state_dict
+
+    dec = Decoder(
+        latent_size=spec.code_length,
+        dims=list(spec.dims),
+        dropout=list(range(len(spec.dims))),
+        dropout_prob=0.2,
+        norm_layers=list(range(len(spec.dims))),
+        latent_in=list(spec.latent_in),
+        weight_norm=True,
+        xyz_in_all=False,
+        use_tanh=False,
+        latent_dropout=False,
+    )
+    state = make_torch_state_dict(spec, seed=seed, weight_norm=True)
+    # the reference weight-norms only `norm_layers` (the hidden layers); the
+    # final linear is plain (`deep_sdf_decoder.py:49-56`) — fold it
+    last = spec.num_linear - 1
+    v = state.pop(f"lin{last}.weight_v")
+    g = state.pop(f"lin{last}.weight_g")
+    state[f"lin{last}.weight"] = g * v / v.norm(dim=1, keepdim=True)
+    dec.load_state_dict(state)
+    dec.eval()
+    return dec, state
+
+
+def reference_cfg(cfg, device: str = "cpu") -> dict:
+    """Reference YAML-schema config dict from a JointOptConfig
+    (the raw-dict shape `Optimizer.__init__` reads, `optimizer.py:17-53`)."""
+    return {
+        "device": device,
+        "opt": {
+            "scale_on": cfg.scale_on,
+            "robust_iter": cfg.robust_iter,
+            "lm": {
+                "lm_on": cfg.lm_on,
+                "lm_eye": cfg.lm_eye,
+                "lm_lambda_0": cfg.lm_lambda_0,
+                "s_damp": cfg.s_damp,
+            },
+            "recon": {
+                "n_pts": cfg.recon_n_pts,
+                "cluster_dist_m": cfg.recon_cluster_dist_m,
+                "robust_th_m": cfg.recon_robust_th_m,
+            },
+            "render": {
+                "n_fg_pix": cfg.n_fg_pix,
+                "n_bg_pix": cfg.n_bg_pix,
+                "n_bg_pad": cfg.n_bg_pad,
+                "n_frame": cfg.n_frame,
+                "n_sample_on_ray": cfg.n_sample_on_ray,
+                "log_sdf_occ": cfg.log_sdf_occ,
+                "occ_cutoff_m": cfg.occ_cutoff_m,
+                "occlusion_on": cfg.occlusion_on,
+                "robust_th_m": cfg.render_robust_th_m,
+            },
+            "weight": {
+                "w_recon": cfg.w_recon,
+                "w_depth": cfg.w_depth,
+                "w_mask": cfg.w_mask,
+                "w_codereg": cfg.w_codereg,
+            },
+            "converge": {
+                "max_iter": cfg.max_iter,
+                "epsilon_g": cfg.epsilon_g,
+                "epsilon_c": cfg.epsilon_c,
+                "epsilon_t": cfg.epsilon_t,
+                "epsilon_r": cfg.epsilon_r,
+                "epsilon_s": cfg.epsilon_s,
+            },
+        },
+        "vis": {"vis_pause_s": 0.0, "log_on": False},
+    }
+
+
+def render_data_from_obs(obs, n_fg: int) -> dict:
+    """Reference `render_data` dict (`utils.py:96-106` keys) from a
+    FruitObservations pytree. Requires all-valid rays/frames (no padding)."""
+    obs_np = {k: np.asarray(v) for k, v in obs._asdict().items()}
+    assert bool(obs_np["ray_valid"].all()) and bool(obs_np["frame_valid"].all())
+    F = obs_np["T_wc"].shape[0]
+    t = lambda a: torch.from_numpy(np.array(a, dtype=np.float32))
+    return {
+        "T_wc": [t(obs_np["T_wc"][f]) for f in range(F)],
+        "rays_fg": [t(obs_np["rays"][f, :n_fg]) for f in range(F)],
+        "rays_bg": [t(obs_np["rays"][f, n_fg:]) for f in range(F)],
+        "depth_fg": [t(obs_np["depth_obs"][f, :n_fg]) for f in range(F)],
+        "depth_bg": [t(obs_np["depth_obs"][f, n_fg:]) for f in range(F)],
+    }

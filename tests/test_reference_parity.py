@@ -1,0 +1,324 @@
+"""Differential tests against the ACTUAL reference implementation.
+
+Unlike the clean-room mirrors (tests/torch_ref.py, tests/render_ref.py),
+these import the genuine `/root/reference/wild_completion/{loss,optimizer,
+utils}.py` (cuda-shimmed to CPU, see tests/reference_shim.py) and assert
+that our masked fixed-shape kernels reproduce its residuals, Jacobians,
+normal equations and LM trajectory on shared fixtures:
+
+  * `compute_render_loss` (`loss.py:8-217`)  vs `ops/render.py`
+  * `compute_sdf_loss`    (`loss.py:219-242`) vs `ops/recon.py`
+  * `Optimizer.shape_pose_joint_opt` H/b/state (`optimizer.py:88-292`)
+    vs `optim/lm.py` (H/b captured by patching torch.inverse/torch.mv)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from hortimapping_tpu.config import JointOptConfig
+from hortimapping_tpu.models.decoder import DecoderSpec
+from hortimapping_tpu.ops.recon import sdf_residuals
+from hortimapping_tpu.ops.render import RenderConfig, render_residuals
+from hortimapping_tpu.optim import lm
+from hortimapping_tpu.tools.synthetic import SyntheticCategory, make_scene
+
+from tests import reference_shim as rs
+
+SPEC = DecoderSpec(code_length=8, dims=(64, 64, 64, 64), latent_in=(2,),
+                   clamping_distance=0.1)
+CUBE_RADIUS = 0.1
+
+
+def _base_cfg(**kw) -> JointOptConfig:
+    base = dict(
+        scale_on=True, lm_on=True, lm_eye=False, lm_lambda_0=0.5, s_damp=1.0,
+        recon_n_pts=48, recon_robust_th_m=0.01,
+        n_fg_pix=32, n_bg_pix=32, n_frame=3, n_sample_on_ray=16,
+        log_sdf_occ=False, occ_cutoff_m=0.15, occlusion_on=True,
+        render_robust_th_m=0.05,
+        w_recon=1.0, w_depth=5e-2, w_mask=5e-4, w_codereg=5e-4,
+        max_iter=3, epsilon_g=0.0, epsilon_c=0.0, epsilon_t=0.0,
+        epsilon_r=0.0, epsilon_s=0.0, robust_iter=1,
+        # exact-parity kernel settings: dense Jacobians, f32, XLA path
+        jac_cap=-1, fwd_cap=-1, fwd_bf16=False,
+        use_pallas=False, fused_render=False,
+    )
+    base.update(kw)
+    return JointOptConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    return rs.import_reference()  # (loss, utils, optimizer)
+
+
+@pytest.fixture(scope="module")
+def decoders(tmp_path_factory):
+    """(reference torch Decoder, converted JAX params) from one state dict."""
+    dec, state = rs.make_reference_decoder(SPEC, seed=3)
+    # scale the output layer so raw SDF values land within +-0.3 — a random
+    # decoder otherwise saturates tanh and leaves the |sdf|<cutoff band empty
+    last = SPEC.num_linear - 1
+    with torch.no_grad():
+        getattr(dec, f"lin{last}").weight *= 0.15
+        getattr(dec, f"lin{last}").bias *= 0.15
+    pth = tmp_path_factory.mktemp("ckpt") / "latest.pth"
+    torch.save({"model_state_dict": dec.state_dict()}, pth)
+    from hortimapping_tpu.models.workspace import convert_torch_checkpoint
+
+    params = convert_torch_checkpoint(str(pth), SPEC)
+    return dec, params
+
+
+@pytest.fixture(scope="module")
+def scene():
+    cfg = _base_cfg()
+    cat = SyntheticCategory(spec=SPEC)
+    rng = np.random.default_rng(11)
+    code_gt = (rng.normal(size=SPEC.code_length) * 0.3).astype(np.float32)
+    T_wo_gt = np.eye(4, dtype=np.float32)
+    obs, _ = make_scene(
+        cat, code_gt, T_wo_gt, n_frames=cfg.n_frame, n_fg=cfg.n_fg_pix,
+        n_bg=cfg.n_bg_pix, n_points=cfg.recon_n_pts, seed=11,
+    )
+    # mild pose/scale perturbation so pose Jacobians are exercised
+    ang = 0.08
+    Rz = np.array([[np.cos(ang), -np.sin(ang), 0.0],
+                   [np.sin(ang), np.cos(ang), 0.0],
+                   [0.0, 0.0, 1.0]], np.float32)
+    T_ow0 = np.eye(4, dtype=np.float32)
+    T_ow0[:3, :3] = 1.07 * Rz
+    T_ow0[:3, 3] = np.array([0.004, -0.006, 0.003], np.float32)
+    latent0 = (np.arange(SPEC.code_length, dtype=np.float32) - 3.5) * 0.02
+    return obs, latent0, T_ow0
+
+
+def _decoder_parity(dec, params, rng):
+    x = rng.normal(size=(64, SPEC.code_length + 3)).astype(np.float32) * 0.4
+    with torch.no_grad():
+        y_ref = dec(torch.from_numpy(x)).numpy()[:, 0]
+    from hortimapping_tpu.models.decoder import decoder_apply
+
+    y_jax = np.asarray(decoder_apply(params, SPEC, jnp.asarray(x))).reshape(-1)
+    np.testing.assert_allclose(y_jax, y_ref, rtol=1e-5, atol=2e-6)
+
+
+def test_decoder_parity_real_reference_class(decoders):
+    """Converted params match the genuine reference Decoder module
+    (`deep_sdf_decoder.py:75-110`), not just the clean-room mirror."""
+    dec, params = decoders
+    _decoder_parity(dec, params, np.random.default_rng(0))
+
+
+def test_sdf_loss_parity(ref_modules, decoders, scene):
+    """`compute_sdf_loss` (`loss.py:219-242`) vs `ops/recon.py` on the same
+    object-frame surface points: residuals + pose/code Jacobian blocks."""
+    ref_loss, _, _ = ref_modules
+    dec, params = decoders
+    obs, latent0, T_ow0 = scene
+    pts_w = np.asarray(obs.points_w)
+    pts_o = pts_w @ T_ow0[:3, :3].T + T_ow0[:3, 3]
+
+    for scale_on in (False, True):
+        res_t, jac_T_t, jac_c_t = ref_loss.compute_sdf_loss(
+            dec, torch.from_numpy(latent0), torch.from_numpy(pts_o), scale_on
+        )
+        mine = sdf_residuals(
+            params, SPEC, jnp.asarray(latent0), jnp.asarray(pts_o),
+            jnp.ones(pts_o.shape[0], bool), scale_on,
+        )
+        P = 7 if scale_on else 6
+        np.testing.assert_allclose(
+            np.asarray(mine.res), res_t.numpy()[:, 0, 0], rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(mine.jac[:, :P]), jac_T_t.numpy()[:, 0, :],
+            rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(mine.jac[:, P:]), jac_c_t.numpy()[:, 0, :],
+            rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("scale_on", [False, True])
+@pytest.mark.parametrize("log_occ_on", [False, True])
+@pytest.mark.parametrize("occlusion_on", [True, False])
+def test_render_loss_parity(ref_modules, decoders, scene, scale_on,
+                            log_occ_on, occlusion_on):
+    """`compute_render_loss` (`loss.py:8-217`) vs `ops/render.py`, frame by
+    frame: surviving-ray sets, per-ray depth/mask residuals, and the
+    scatter-added pose/code Jacobian blocks."""
+    ref_loss, _, _ = ref_modules
+    dec, params = decoders
+    obs, latent0, T_ow0 = scene
+    cfg = _base_cfg(scale_on=scale_on, log_sdf_occ=log_occ_on,
+                    occlusion_on=occlusion_on)
+    rcfg = RenderConfig(
+        scale_on=scale_on, log_occ_on=log_occ_on, occ_cutoff=cfg.occ_cutoff_m,
+        occlusion_on=occlusion_on, jac_cap=0, fwd_cap=0,
+    )
+    n_fg, R = cfg.n_fg_pix, cfg.n_rays
+    M = cfg.n_sample_on_ray
+    P = rcfg.pose_dim
+    cur_scale = np.linalg.det(T_ow0[:3, :3]) ** (-1.0 / 3.0)
+    depth_range = CUBE_RADIUS * cur_scale
+    rd = rs.render_data_from_obs(obs, n_fg)
+
+    compared_rays = 0
+    for f in range(cfg.n_frame):
+        T_oc = T_ow0 @ np.asarray(obs.T_wc[f])
+        T_co = np.linalg.inv(T_oc)
+        depths = np.linspace(T_co[2, 3] - 1.0 * depth_range,
+                             T_co[2, 3] + 0.8 * depth_range, M).astype(np.float32)
+
+        out_ref = ref_loss.compute_render_loss(
+            dec, torch.from_numpy(latent0.copy()),
+            torch.cat([rd["rays_fg"][f], rd["rays_bg"][f]], 0),
+            rd["depth_fg"][f].clone(), rd["depth_bg"][f].clone(),
+            torch.from_numpy(T_oc), torch.from_numpy(depths),
+            scale_on, log_occ_on, cfg.occ_cutoff_m, depth_range, occlusion_on,
+        )
+
+        mine = render_residuals(
+            params, SPEC, jnp.asarray(latent0), obs.rays[f],
+            jnp.arange(R) < n_fg, jnp.ones(R, bool), obs.depth_obs[f],
+            jnp.asarray(T_oc), jnp.asarray(depths),
+            jnp.asarray(depth_range, jnp.float32), rcfg,
+        )
+        ray_ok = np.asarray(mine.ray_ok)
+
+        if out_ref is None:
+            assert not ray_ok.any()
+            continue
+        res_d_t, jac_dT_t, jac_dc_t, res_m_t, jac_mT_t, jac_mc_t = out_ref
+        ids = np.where(ray_ok)[0]
+        assert ids.size == res_d_t.shape[0], (
+            f"frame {f}: surviving-ray sets differ "
+            f"({ids.size} vs {res_d_t.shape[0]})")
+        compared_rays += ids.size
+
+        tol = dict(rtol=2e-4, atol=5e-6)
+        np.testing.assert_allclose(
+            np.asarray(mine.res_d)[ids], res_d_t.numpy()[:, 0, 0], **tol)
+        np.testing.assert_allclose(
+            np.asarray(mine.res_m)[ids], res_m_t.numpy()[:, 0, 0], **tol)
+        np.testing.assert_allclose(
+            np.asarray(mine.jac_d)[ids, :P], jac_dT_t.numpy()[:, 0, :], **tol)
+        np.testing.assert_allclose(
+            np.asarray(mine.jac_d)[ids, P:], jac_dc_t.numpy()[:, 0, :], **tol)
+        np.testing.assert_allclose(
+            np.asarray(mine.jac_m)[ids, :P], jac_mT_t.numpy()[:, 0, :], **tol)
+        np.testing.assert_allclose(
+            np.asarray(mine.jac_m)[ids, P:], jac_mc_t.numpy()[:, 0, :], **tol)
+    assert compared_rays > 20, "fixture produced too few surviving rays"
+
+
+class _CaptureHb:
+    """Capture (H, b) per LM iteration by patching torch.inverse/torch.mv.
+
+    The reference solves `delta = inverse(H) @ b` (`optimizer.py:234`); H is
+    the only (D, D) matrix ever inverted and the solve is the only (D, D) mv
+    (exp_se3/exp_sim3 use 3x3 mv's)."""
+
+    def __init__(self, D: int):
+        self.D = D
+        self.Hs, self.bs = [], []
+
+    def __enter__(self):
+        self._inv, self._mv = torch.inverse, torch.mv
+
+        def inverse(m, *a, **k):
+            if m.shape == (self.D, self.D):
+                self.Hs.append(m.detach().clone().numpy())
+            return self._inv(m, *a, **k)
+
+        def mv(m, v, *a, **k):
+            if m.shape == (self.D, self.D):
+                self.bs.append(v.detach().clone().numpy())
+            return self._mv(m, v, *a, **k)
+
+        torch.inverse, torch.mv = inverse, mv
+        return self
+
+    def __exit__(self, *exc):
+        torch.inverse, torch.mv = self._inv, self._mv
+
+
+@pytest.mark.parametrize("pose_known", [False, True])
+def test_lm_step_parity(ref_modules, decoders, scene, pose_known):
+    """One-to-one LM trajectory vs `Optimizer.shape_pose_joint_opt`
+    (`optimizer.py:88-292`): per-iteration H and b (captured at the
+    `torch.inverse(H) @ b` solve, `optimizer.py:234`), final latent, pose,
+    and iteration count. Covers the Huber switch-on at robust_iter=1."""
+    _, _, ref_optimizer = ref_modules
+    dec, params = decoders
+    obs, latent0, T_ow0 = scene
+    cfg = _base_cfg()
+    D = cfg.pose_dim + SPEC.code_length
+
+    opt = ref_optimizer.Optimizer(rs.reference_cfg(cfg), dec, mesher=None, vis=None)
+    rd = rs.render_data_from_obs(obs, cfg.n_fg_pix)
+    with _CaptureHb(D) as cap:
+        lat_ref, T_ref, iters_ref = opt.shape_pose_joint_opt(
+            torch.from_numpy(latent0.copy()), torch.from_numpy(T_ow0.copy()),
+            rd, torch.from_numpy(np.asarray(obs.points_w)), CUBE_RADIUS,
+            None, pose_known,
+        )
+    assert len(cap.Hs) == iters_ref == cfg.max_iter
+
+    # per-iteration normal equations, replayed from the reference trajectory
+    # start so H/b comparisons are not polluted by state drift
+    lat_j, T_j = jnp.asarray(latent0), jnp.asarray(T_ow0)
+    for it in range(iters_ref):
+        H_j, b_j, failed = lm.normal_equations(
+            params, SPEC, cfg, obs, lat_j, T_j, jnp.int32(it), CUBE_RADIUS)
+        assert not bool(failed)
+        np.testing.assert_allclose(np.asarray(H_j), cap.Hs[it],
+                                   rtol=5e-4, atol=5e-5,
+                                   err_msg=f"H diverged at iteration {it}")
+        np.testing.assert_allclose(np.asarray(b_j), cap.bs[it],
+                                   rtol=5e-4, atol=5e-5,
+                                   err_msg=f"b diverged at iteration {it}")
+        state = lm.lm_iteration(
+            params, SPEC, cfg, obs, lm.init_state(lat_j, T_j, i0=it),
+            CUBE_RADIUS, pose_known)
+        lat_j, T_j = state.latent, state.T_ow
+
+    np.testing.assert_allclose(np.asarray(lat_j), lat_ref.numpy(),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(T_j), T_ref.numpy(),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_full_solve_trajectory_parity(ref_modules, decoders, scene):
+    """End-to-end `shape_pose_joint_opt` while_loop vs the reference Python
+    loop, including the convergence tests' iteration count."""
+    _, _, ref_optimizer = ref_modules
+    dec, params = decoders
+    obs, latent0, T_ow0 = scene
+    cfg = _base_cfg(max_iter=6)
+
+    opt = ref_optimizer.Optimizer(rs.reference_cfg(cfg), dec, mesher=None, vis=None)
+    rd = rs.render_data_from_obs(obs, cfg.n_fg_pix)
+    lat_ref, T_ref, iters_ref = opt.shape_pose_joint_opt(
+        torch.from_numpy(latent0.copy()), torch.from_numpy(T_ow0.copy()),
+        rd, torch.from_numpy(np.asarray(obs.points_w)), CUBE_RADIUS,
+        None, False,
+    )
+    res = lm.shape_pose_joint_opt(
+        params, SPEC, cfg, obs, jnp.asarray(latent0), jnp.asarray(T_ow0),
+        CUBE_RADIUS, False,
+    )
+    assert int(res.iter_count) == iters_ref
+    assert not bool(res.failed)
+    # six chained iterations accumulate f32 scheme differences that parity
+    # cannot remove (torch.inverse@b vs linalg.solve; libm exp rounding inside
+    # the cancellation-prone (e^s-1)/s when |delta_s| ~ 1e-6); per-iteration
+    # H/b agreement is the tight check (test_lm_step_parity, ~1e-9 at iter 0)
+    np.testing.assert_allclose(np.asarray(res.latent), lat_ref.numpy(),
+                               rtol=5e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(res.T_ow), T_ref.numpy(),
+                               rtol=5e-3, atol=1e-3)
