@@ -8,8 +8,10 @@ neighbor distance has two engines:
     evaluation is one big `|a|^2 + |b|^2 - 2 a.b` matmul per tile, so the
     MXU does the heavy lifting; `lax.map` over query tiles bounds memory at
     `tile * M`. Exact (not approximate), preferred up to ~10^10 pairs.
-  * host KD-tree / native C++ fallback (`native.nn_distances`) for the
-    1 M x 1 M mesh-vs-mesh case where brute force stops making sense.
+  * host scipy cKDTree (parallel query, `workers=-1`) above that — the
+    reference's 1M-point mesh-vs-mesh case (`metric.py:40`) is ~10^12 pairs,
+    O(N log M) on the tree vs hours of brute force. Falls back to the native
+    C++ brute force only if scipy is unavailable.
 
 `ChamferDistance.update/compute/reset` keep the reference's aggregate
 semantics exactly: per-instance symmetric mean ((mean(d_gt->pt) +
@@ -28,10 +30,21 @@ import numpy as np
 from hortimapping_tpu import native
 from hortimapping_tpu.metrics.metric import Metrics3D
 
-# above this many pairwise distances, the host KD-tree wins over on-device
-# brute force (flops ~ 8 * pairs; 1e10 pairs ~ 1e11 flops ~ <1 s on TPU)
-_BRUTE_FORCE_MAX_PAIRS = int(1e10)
+# above this many pairwise distances, the host KD-tree wins over brute
+# force. On TPU the crossover is high (flops ~ 8 * pairs; 1e10 pairs ~ 1e11
+# flops ~ <1 s of MXU time); on the CPU backend the same matmuls run ~100x
+# slower, so the tree takes over much earlier.
+_BRUTE_FORCE_MAX_PAIRS_TPU = int(1e10)
+_BRUTE_FORCE_MAX_PAIRS_CPU = int(1e8)
 _TILE = 4096
+
+
+def _brute_force_max_pairs() -> int:
+    return (
+        _BRUTE_FORCE_MAX_PAIRS_TPU
+        if jax.default_backend() == "tpu"
+        else _BRUTE_FORCE_MAX_PAIRS_CPU
+    )
 
 
 @partial(jax.jit, static_argnames=("tile",))
@@ -57,11 +70,23 @@ def nn_distances_tpu(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.asarray(_nn_min_dists(a, b))
 
 
+def nn_distances_kdtree(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Exact NN distances via scipy cKDTree (all host cores)."""
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(np.asarray(b, np.float64))
+    d, _ = tree.query(np.asarray(a, np.float64), k=1, workers=-1)
+    return np.asarray(d, np.float32)
+
+
 def nn_distances(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Engine-selecting NN distances (device brute force vs host KD-tree)."""
-    if a.shape[0] * b.shape[0] <= _BRUTE_FORCE_MAX_PAIRS:
+    if a.shape[0] * b.shape[0] <= _brute_force_max_pairs():
         return nn_distances_tpu(a, b)
-    return native.nn_distances(np.asarray(a, np.float32), np.asarray(b, np.float32))
+    try:
+        return nn_distances_kdtree(a, b)
+    except ImportError:  # pragma: no cover - scipy is in the base image
+        return native.nn_distances(np.asarray(a, np.float32), np.asarray(b, np.float32))
 
 
 class ChamferDistance(Metrics3D):

@@ -18,6 +18,12 @@ import jax
 # jax.config at interpreter start, overriding the env var — override it back.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is dominated by XLA recompiles of
+# the LM while_loop variants; caching them across runs cuts repeat wall time.
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/horti_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np
 import pytest
 

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from hortimapping_tpu.models.decoder import DecoderSpec, init_decoder_params
 from hortimapping_tpu.ops.render import RenderConfig, render_residuals
 

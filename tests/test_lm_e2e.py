@@ -28,9 +28,9 @@ from hortimapping_tpu.tools.synthetic import (
 
 ASSET_DIR = os.path.join(os.path.dirname(__file__), "..", "assets", "synthetic_small_8")
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.isdir(ASSET_DIR), reason="synthetic assets not built"
-)
+)]
 
 CFG = JointOptConfig(
     scale_on=True,

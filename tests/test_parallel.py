@@ -15,9 +15,9 @@ from hortimapping_tpu.tools.synthetic import SyntheticCategory, make_scene
 
 ASSET_DIR = os.path.join(os.path.dirname(__file__), "..", "assets", "synthetic_small_8")
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.isdir(ASSET_DIR), reason="synthetic assets not built"
-)
+)]
 
 
 # shapes must clear the reference's hard min of 100 in-radius samples per

@@ -8,9 +8,9 @@ import pytest
 
 ASSET_DIR = os.path.join(os.path.dirname(__file__), "..", "assets", "synthetic_small_8")
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.isdir(ASSET_DIR), reason="synthetic assets not built"
-)
+)]
 
 
 @pytest.fixture(scope="module")

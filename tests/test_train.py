@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from hortimapping_tpu.models.decoder import DecoderSpec, decoder_sdf
 from hortimapping_tpu.models.workspace import config_decoder, load_latent_vectors
 from hortimapping_tpu.train import load_sdf_samples, train_deepsdf
