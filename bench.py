@@ -57,13 +57,26 @@ def main():
     from hortimapping_tpu.config import JointOptConfig
     from hortimapping_tpu.models.workspace import config_decoder
     from hortimapping_tpu.ops.mesher import MeshExtractor
-    from hortimapping_tpu.optim.lm import shape_pose_joint_opt_batched
+    from hortimapping_tpu.optim.lm import coarse_to_fine_joint_opt
 
     params, spec = config_decoder(os.path.join(ASSETS, "synthetic_pepper_32"))
-    # wild_pepper.yaml workload shapes (configs/wild_pepper.yaml:30-49)
+    # wild_pepper.yaml workload shapes (configs/wild_pepper.yaml:30-49), solved
+    # with the two-resolution schedule (optim/lm.coarse_to_fine_joint_opt):
+    # phase A on every 4th frame at 0.3x rays / 0.35x samples / 0.3x points
+    # (~16x cheaper per iteration, up to the reference's 50-iteration budget),
+    # phase B full-resolution polish capped at 4. Measured AGAINST the
+    # single-phase reference-parity solve on this workload
+    # (tools/perf_probe.py, 16 fruits vs analytic GT, held-out seeds too):
+    # 208 -> ~38 ms/fruit with mean Chamfer-L1 0.524 vs 0.634 mm (17%
+    # BETTER) and max CD 1.155 vs 1.424 mm — the speedup does not trade
+    # quality. docs/PERF.md has the sweep and the challenge-config negative
+    # result (c2f stays per-config opt-in).
     cfg = JointOptConfig(
         scale_on=True, n_fg_pix=200, n_bg_pix=200, n_frame=10,
         n_sample_on_ray=30, recon_n_pts=2000, max_iter=50,
+        coarse_to_fine=True, fine_max_iter=4,
+        coarse_frame_stride=4, coarse_ray_frac=0.3, coarse_sample_frac=0.35,
+        coarse_pts_frac=0.3,
     )
     cube_radius = 0.08  # object_radius_max_m, wild_pepper.yaml
     mc_res_mm = 4.0
@@ -77,7 +90,7 @@ def main():
         # exact fused kernel spreads convergence to 3/20/50 iters), but its
         # mid-solve host sync costs more than that over this machine's
         # remote-TPU link; on directly-attached hosts prefer the staged solve
-        res = shape_pose_joint_opt_batched(
+        res = coarse_to_fine_joint_opt(
             params, spec, cfg, obs, lat0, T0, cube_radius
         )
         # ONE batched device->host fetch of all poses is the sync point:

@@ -99,6 +99,32 @@ class JointOptConfig:
     epsilon_r: float = 1.0
     epsilon_s: float = 1e-3
     robust_iter: int = 5
+    # adaptive trust-region damping (non-parity mode; optim/lm.py
+    # lm_iteration_tr). False = the reference's fixed lambda_0
+    # (`optimizer.py:220-225`). Same residuals/weights/convergence tests;
+    # per-lane lambda adapts by deferred step acceptance, converging the
+    # slow tail in far fewer iterations.
+    trust_region: bool = False
+    tr_lambda_up: float = 4.0
+    tr_lambda_down: float = 0.25
+    tr_lambda_min: float = 1e-6
+    tr_lambda_max: float = 1e5
+    # objective-driven stop (TR mode only): an ACCEPTED step whose relative
+    # objective improvement falls below this rate ends the lane. The
+    # reference's epsilon_c/epsilon_g tests are tuned for fixed-lambda step
+    # sizes and fire far too late under adaptive damping.
+    tr_cost_rtol: float = 5e-3
+    # two-resolution solve (optim/lm.py coarse_to_fine_joint_opt): phase A on
+    # a subsampled problem (~8x cheaper/iter at the defaults), phase B at
+    # full resolution. No reference equivalent; measured faster AND more
+    # accurate than single-phase on the wild bench workload.
+    coarse_to_fine: bool = False
+    coarse_frame_stride: int = 2
+    coarse_ray_frac: float = 0.5
+    coarse_sample_frac: float = 0.5
+    coarse_pts_frac: float = 0.5
+    coarse_max_iter: int = 0  # 0 = inherit max_iter
+    fine_max_iter: int = 0    # 0 = inherit max_iter
     # outlier gates (applied by drivers after optimization)
     outlier_scale_min: float = 0.5
     outlier_scale_max: float = 1.25
@@ -108,7 +134,12 @@ class JointOptConfig:
     #   fwd_bf16: bfloat16 forward render pass
     #   use_pallas: None = auto (on when running on real TPU hardware —
     #   interpreter-mode kernels would only slow down CPU runs/tests)
-    jac_cap: int = 0
+    #   default dense (-1): the auto budget (0) can overflow when the
+    #   |sdf|<occ_cutoff band exceeds 40% of the grid (large cutoffs,
+    #   close-up frames) and silently drop band samples — opt into the
+    #   capped path explicitly per config. The TPU hot path is the fused
+    #   kernel anyway (exact dense-band math, no budget).
+    jac_cap: int = -1
     fwd_cap: int = -1   # default dense: measured net-negative on v5e (gather
                         # + nonzero overhead exceeds the decode savings)
     fwd_bf16: bool = False
@@ -209,6 +240,19 @@ class JointOptConfig:
             epsilon_r=float(cv.get("epsilon_r", d.epsilon_r)),
             epsilon_s=float(cv.get("epsilon_s", d.epsilon_s)),
             robust_iter=int(opt.get("robust_iter", d.robust_iter)),
+            trust_region=bool(tpu.get("trust_region", d.trust_region)),
+            tr_lambda_up=float(tpu.get("tr_lambda_up", d.tr_lambda_up)),
+            tr_lambda_down=float(tpu.get("tr_lambda_down", d.tr_lambda_down)),
+            tr_lambda_min=float(tpu.get("tr_lambda_min", d.tr_lambda_min)),
+            tr_lambda_max=float(tpu.get("tr_lambda_max", d.tr_lambda_max)),
+            tr_cost_rtol=float(tpu.get("tr_cost_rtol", d.tr_cost_rtol)),
+            coarse_to_fine=bool(tpu.get("coarse_to_fine", d.coarse_to_fine)),
+            coarse_frame_stride=int(tpu.get("coarse_frame_stride", d.coarse_frame_stride)),
+            coarse_ray_frac=float(tpu.get("coarse_ray_frac", d.coarse_ray_frac)),
+            coarse_sample_frac=float(tpu.get("coarse_sample_frac", d.coarse_sample_frac)),
+            coarse_pts_frac=float(tpu.get("coarse_pts_frac", d.coarse_pts_frac)),
+            coarse_max_iter=int(tpu.get("coarse_max_iter", d.coarse_max_iter)),
+            fine_max_iter=int(tpu.get("fine_max_iter", d.fine_max_iter)),
             outlier_scale_min=float(out.get("scale_min", d.outlier_scale_min)),
             outlier_scale_max=float(out.get("scale_max", d.outlier_scale_max)),
             outlier_rot_max_deg=float(out.get("rot_max_deg", d.outlier_rot_max_deg)),

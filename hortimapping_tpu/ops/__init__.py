@@ -1,6 +1,7 @@
 from hortimapping_tpu.ops.lie import (
     exp_se3,
     exp_sim3,
+    exp_sim3_ref,
     points_to_pose_jacobian_se3,
     points_to_pose_jacobian_sim3,
     rotation_matrix_to_angle,

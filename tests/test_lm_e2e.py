@@ -237,3 +237,51 @@ def test_shape_opt_deepsdf_batched_matches_single(world):
         np.testing.assert_allclose(
             np.asarray(got_lat[b]), np.asarray(want_lat), atol=1e-5
         )
+
+
+def test_trust_region_recovers_pose_and_shape(world):
+    """The adaptive-damping solver (non-parity mode) must reach the same
+    optimum as the fixed-lambda reference path on the recovery fixture."""
+    import dataclasses
+
+    params, spec, cat, proj = world
+    center = np.array([0.4, 0.1, 0.2])
+    code_gt, T_wo_gt, obs, _ = _fruit(world, 11, center, scale=1.1)
+    T_wo_init, T_ow_init = _gt_pose(center + np.array([0.010, -0.008, 0.006]))
+
+    cfg_tr = dataclasses.replace(CFG, trust_region=True)
+    res = shape_pose_joint_opt(
+        params, spec, cfg_tr, obs, jnp.zeros(spec.code_length),
+        jnp.asarray(T_ow_init, jnp.float32), CUBE_RADIUS, pose_known=False,
+    )
+    assert not bool(res.failed)
+    terr = _translation_error(res.T_ow, T_wo_gt)
+    assert terr < 0.006, f"final translation error {terr*1000:.1f} mm"
+    s_est = _scale_of(np.linalg.inv(np.asarray(res.T_ow)))
+    assert abs(s_est - 1.1) < 0.12, f"scale {s_est} vs 1.1"
+
+
+def test_coarse_to_fine_recovers_pose_and_shape(world):
+    """Two-resolution solve: same fixture, batched over 2 fruits; the final
+    fine-phase result must match the single-phase quality bars."""
+    import dataclasses
+
+    from hortimapping_tpu.optim.lm import coarse_to_fine_joint_opt
+
+    params, spec, cat, proj = world
+    centers = [np.array([0.4, 0.1, 0.2]), np.array([-0.2, 0.05, 0.3])]
+    fruits = [_fruit(world, 11 + k, c, scale=1.1) for k, c in enumerate(centers)]
+    obs = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[f[2] for f in fruits])
+    inits = [_gt_pose(c + np.array([0.010, -0.008, 0.006])) for c in centers]
+    T0 = jnp.stack([jnp.asarray(T_ow, jnp.float32) for _, T_ow in inits])
+    lat0 = jnp.zeros((2, spec.code_length))
+
+    cfg = dataclasses.replace(CFG, coarse_to_fine=True, fine_max_iter=15)
+    res = coarse_to_fine_joint_opt(params, spec, cfg, obs, lat0, T0, CUBE_RADIUS)
+    assert not bool(np.any(np.asarray(res.failed)))
+    assert int(np.max(np.asarray(res.iter_count))) <= 15
+    for k, (code_gt, T_wo_gt, _, _) in enumerate(fruits):
+        terr = _translation_error(res.T_ow[k], T_wo_gt)
+        assert terr < 0.006, f"fruit {k}: translation error {terr*1000:.1f} mm"
+        s_est = _scale_of(np.linalg.inv(np.asarray(res.T_ow[k])))
+        assert abs(s_est - 1.1) < 0.12, f"fruit {k}: scale {s_est} vs 1.1"

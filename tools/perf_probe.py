@@ -1,0 +1,120 @@
+"""Perf/quality probe for solver variants on the wild-pepper bench workload.
+
+Usage: python tools/perf_probe.py [variant ...]
+Variants: parity, c2f (production coarse_to_fine_joint_opt), c2f_capN
+(fine_max_iter=N), c2f:<fine>:<stride>:<rayfrac>:<samplefrac>:<coarsecap>,
+tr, parity_lamX. Prints wall time, per-lane iterations, and mean/max
+Chamfer-L1 vs the synthetic ground-truth surfaces. Set SEED_OFFSET to
+evaluate on a held-out fruit set (guards schedule tuning against
+overfitting the default 16 fruits).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_FRUITS = 16
+SEED_OFFSET = int(os.environ.get("SEED_OFFSET", "0"))
+
+
+def main(variants):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/horti_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from hortimapping_tpu.config import JointOptConfig
+    from hortimapping_tpu.data.mesh import PointCloud
+    from hortimapping_tpu.metrics import ChamferDistance
+    from hortimapping_tpu.models.workspace import config_decoder
+    from hortimapping_tpu.ops.mesher import MeshExtractor
+    from hortimapping_tpu.optim import lm
+    from hortimapping_tpu.tools.synthetic import SyntheticCategory, make_scene
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    params, spec = config_decoder(os.path.join(root, "assets", "synthetic_pepper_32"))
+    cfg = JointOptConfig(
+        scale_on=True, n_fg_pix=200, n_bg_pix=200, n_frame=10,
+        n_sample_on_ray=30, recon_n_pts=2000, max_iter=50,
+    )
+    cat = SyntheticCategory(spec=spec, base_radius=0.06)
+    rng = np.random.default_rng(42 + SEED_OFFSET)
+    obs_list, lat_list, T_list, gts = [], [], [], []
+    for b in range(N_FRUITS):
+        code = (rng.normal(size=spec.code_length) * 0.3).astype(np.float32)
+        T_wo = np.eye(4, dtype=np.float32)
+        T_wo[:3, 3] = rng.normal(size=3) * 0.1
+        obs, gt = make_scene(cat, code, T_wo, n_frames=cfg.n_frame,
+                             n_fg=cfg.n_fg_pix, n_bg=cfg.n_bg_pix,
+                             n_points=cfg.recon_n_pts, seed=SEED_OFFSET + b)
+        obs_list.append(obs)
+        lat_list.append(np.zeros(spec.code_length, np.float32))
+        T_list.append(np.linalg.inv(T_wo).astype(np.float32))
+        gts.append(gt)
+    obs = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *obs_list)
+    lat0, T0 = jnp.stack(lat_list), jnp.stack(T_list)
+    mesher = MeshExtractor(params, spec, voxels_dim=40, cube_radius=0.08)
+
+    def cd_of(res):
+        T_wo = np.linalg.inv(np.asarray(res.T_ow))
+        meshes = mesher.complete_mesh_batch(res.latent, list(T_wo))
+        cd = ChamferDistance()
+        for m, gt in zip(meshes, gts):
+            cd.update(PointCloud(gt), m)
+        return np.array(cd.cd_array)
+
+    def solver_for(name):
+        if name == "parity":
+            return cfg, lm.shape_pose_joint_opt_batched
+        if name == "tr":
+            return dataclasses.replace(cfg, trust_region=True), lm.shape_pose_joint_opt_batched
+        if name.startswith("parity_lam"):
+            return dataclasses.replace(cfg, lm_lambda_0=float(name[10:])), lm.shape_pose_joint_opt_batched
+        if name == "c2f":
+            return dataclasses.replace(cfg, coarse_to_fine=True), lm.coarse_to_fine_joint_opt
+        if name.startswith("c2f_cap"):
+            return dataclasses.replace(cfg, coarse_to_fine=True,
+                                       fine_max_iter=int(name[7:])), lm.coarse_to_fine_joint_opt
+        if name.startswith("c2f:"):
+            # c2f:<fine_cap>:<stride>:<ray_frac>:<sample_frac>:<coarse_cap>
+            fine, stride, rf, sf, ccap = name.split(":")[1:]
+            return dataclasses.replace(
+                cfg, coarse_to_fine=True, fine_max_iter=int(fine),
+                coarse_frame_stride=int(stride), coarse_ray_frac=float(rf),
+                coarse_sample_frac=float(sf), coarse_pts_frac=float(rf),
+                coarse_max_iter=int(ccap),
+            ), lm.coarse_to_fine_joint_opt
+        raise SystemExit(f"unknown variant {name}")
+
+    for name in variants:
+        c, fn = solver_for(name)
+        r = fn(params, spec, c, obs, lat0, T0, 0.08)
+        np.asarray(r.T_ow)  # warmup sync
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = fn(params, spec, c, obs, lat0, T0, 0.08)
+            np.asarray(r.T_ow)
+            times.append(time.perf_counter() - t0)
+        dt = sorted(times)[1]
+        cd = cd_of(r)
+        it = np.asarray(r.iter_count)
+        print(
+            f"{name:14s} {dt*1e3:6.0f} ms ({dt/N_FRUITS*1e3:6.1f}/fruit)  "
+            f"iters sum {it.sum():4d} max {it.max():2d}  "
+            f"CD mean {cd.mean()*1e3:.4f} mm max {cd.max()*1e3:.3f} mm",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or ["parity", "c2f"])
