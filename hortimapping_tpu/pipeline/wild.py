@@ -229,7 +229,7 @@ def run_wild_completion(cfg: Dict, log=print) -> List[FruitResult]:
             for i, (name, sid, obs_i, T_ow0, clean_p, color) in enumerate(prepared):
                 vis.clean_vis()
                 vis.add_scan(clean_p)
-                if vis.stop():  # user skipped this fruit (SPACE/N vs S)
+                if vis.stop():  # user skipped this fruit (N vs SPACE)
                     outs.append(_OR(lat0[i], T0[i], jnp.int32(0),
                                     jnp.asarray(True), jnp.asarray(False)))
                     continue

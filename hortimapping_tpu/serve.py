@@ -30,6 +30,7 @@ import dataclasses
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from typing import Dict, List, Optional, Tuple
 
@@ -104,12 +105,17 @@ class CompletionServer:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._lock = threading.Lock()
+        # serializes submit() against stop()'s final drain: without it a
+        # producer could pass the stop check, then enqueue after the drain,
+        # leaving its Future unresolved forever
+        self._submit_lock = threading.Lock()
         self._completed = 0
         # bounded: a continuous server must not grow host memory with age
-        from collections import deque
-
         self._latencies = deque(maxlen=4096)
         self._started_at: Optional[float] = None
+        # per-shape-bucket FIFOs, owned by the worker thread (stop() may
+        # drain them only after join)
+        self._pending: Dict[Tuple, "deque"] = {}
 
     # ---------------- lifecycle ----------------
 
@@ -126,14 +132,23 @@ class CompletionServer:
         if self._thread is not None:
             self._thread.join()
             self._thread = None
-        # fail anything that raced the shutdown instead of hanging its waiter
-        while True:
-            try:
-                _req, fut, _t = self._q.get_nowait()
-            except queue.Empty:
-                break
-            if not fut.done():
-                fut.set_exception(RuntimeError("CompletionServer stopped"))
+        # fail anything that raced the shutdown instead of hanging its waiter;
+        # _submit_lock closes the submit()->put window (no put can land after
+        # this drain: submit either finished its put before we got the lock,
+        # or observes _stop and raises)
+        with self._submit_lock:
+            leftovers = []
+            while True:
+                try:
+                    leftovers.append(self._q.get_nowait())
+                except queue.Empty:
+                    break
+            for dq in self._pending.values():
+                leftovers.extend(dq)
+            self._pending.clear()
+            for _req, fut, _t in leftovers:
+                if not fut.done():
+                    fut.set_exception(RuntimeError("CompletionServer stopped"))
 
     def __enter__(self) -> "CompletionServer":
         return self.start()
@@ -144,10 +159,11 @@ class CompletionServer:
     # ---------------- API ----------------
 
     def submit(self, req: CompletionRequest) -> "Future[CompletionResult]":
-        if self._stop.is_set() or self._thread is None:
-            raise RuntimeError("CompletionServer is not running (call start())")
-        fut: "Future[CompletionResult]" = Future()
-        self._q.put((req, fut, time.perf_counter()))
+        with self._submit_lock:
+            if self._stop.is_set() or self._thread is None:
+                raise RuntimeError("CompletionServer is not running (call start())")
+            fut: "Future[CompletionResult]" = Future()
+            self._q.put((req, fut, time.perf_counter()))
         return fut
 
     def stats(self) -> Dict:
@@ -160,8 +176,14 @@ class CompletionServer:
             "fruits_per_sec": n / wall if wall > 0 else 0.0,
             "latency_p50_s": lat[len(lat) // 2] if lat else 0.0,
             "latency_p95_s": lat[int(len(lat) * 0.95)] if lat else 0.0,
-            "queued": self._q.qsize(),
+            "queued": self._q.qsize() + self._pending_count(),
         }
+
+    def _pending_count(self) -> int:
+        try:  # best-effort: the worker thread mutates _pending concurrently
+            return sum(len(d) for d in list(self._pending.values()))
+        except RuntimeError:  # pragma: no cover - dict resized mid-iteration
+            return 0
 
     # ---------------- worker ----------------
 
@@ -175,46 +197,56 @@ class CompletionServer:
                 item[1].set_exception(e)
             return None
 
-    def _drain(self) -> List[Tuple[CompletionRequest, Future, float]]:
-        """Collect up to max_batch same-shape requests, waiting briefly to
-        fill the batch after the first arrival."""
-        key = None
-        while key is None:
-            try:
-                first = self._q.get(timeout=0.05)
-            except queue.Empty:
-                return []
-            key = self._safe_key(first)
-        batch = [first]
-        deadline = time.perf_counter() + self.max_wait_s
-        put_back = []
-        while len(batch) < self.max_batch:
-            timeout = deadline - time.perf_counter()
-            if timeout <= 0:
-                break
-            try:
-                item = self._q.get(timeout=timeout)
-            except queue.Empty:
-                break
+    def _pump(self, timeout: float) -> bool:
+        """Move arrivals from the queue into the per-bucket FIFOs. Blocks up
+        to `timeout` for the first item, then drains whatever is ready."""
+        try:
+            item = self._q.get(timeout=timeout) if timeout > 0 else self._q.get_nowait()
+        except queue.Empty:
+            return False
+        got = False
+        while True:
             k = self._safe_key(item)
-            if k is None:
-                continue
-            if k == key:
-                batch.append(item)
-            else:
-                put_back.append(item)  # different bucket: next round
-        for item in put_back:
-            self._q.put(item)
+            if k is not None:
+                self._pending.setdefault(k, deque()).append(item)
+                got = True
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return got
+
+    def _drain(self) -> List[Tuple[CompletionRequest, Future, float]]:
+        """Pick the bucket whose HEAD request is oldest (FIFO across shape
+        buckets — a steady majority stream cannot starve a minority bucket),
+        then wait briefly for more same-bucket arrivals to fill the batch."""
+        if not self._pending and not self._pump(0.05):
+            return []
+        key = min(self._pending, key=lambda k: self._pending[k][0][2])
+        dq = self._pending[key]
+        deadline = time.perf_counter() + self.max_wait_s
+        while len(dq) < self.max_batch:
+            timeout = deadline - time.perf_counter()
+            if timeout <= 0 or not self._pump(timeout):
+                break
+        batch = [dq.popleft() for _ in range(min(self.max_batch, len(dq)))]
+        if not dq:
+            del self._pending[key]
         return batch
 
     def _worker(self) -> None:
         import jax.numpy as jnp
 
         from hortimapping_tpu.data.rays import stack_observations
-        from hortimapping_tpu.optim.lm import shape_pose_joint_opt_batched
+        from hortimapping_tpu.optim.lm import (
+            coarse_to_fine_joint_opt,
+            shape_pose_joint_opt_batched,
+        )
         from hortimapping_tpu.parallel.sharding import pad_to_multiple
 
-        while not self._stop.is_set() or not self._q.empty():
+        solver = (coarse_to_fine_joint_opt if self.cfg.coarse_to_fine
+                  else shape_pose_joint_opt_batched)
+
+        while not self._stop.is_set() or not self._q.empty() or self._pending:
             batch = self._drain()
             # honor client-side Future.cancel() before paying for the lane
             batch = [b for b in batch if b[1].set_running_or_notify_cancel()]
@@ -230,7 +262,7 @@ class CompletionServer:
                 n = len(reqs)
                 if n < self.max_batch:
                     obs, lat0, T0, _ = pad_to_multiple(obs, lat0, T0, self.max_batch)
-                res = shape_pose_joint_opt_batched(
+                res = solver(
                     self.params, self.spec, self.cfg, obs, lat0, T0,
                     self.cube_radius, reqs[0].pose_known,
                 )

@@ -177,8 +177,16 @@ def train_deepsdf(
     steps_per_epoch = max(1, S // scenes_per_batch)
     half = samples_per_scene // 2
     n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
-    # per-device share of the global scene batch (global batch preserved)
-    scenes_local = max(1, scenes_per_batch // n_shards)
+    # per-device share of the global scene batch, rounded UP: flooring would
+    # silently shrink the effective ScenesPerBatch (e.g. 64 on 6 devices
+    # trained with 60), changing hyperparameters vs specs.json
+    scenes_local = max(1, -(-scenes_per_batch // n_shards))
+    if mesh is not None and scenes_local * n_shards != scenes_per_batch:
+        print(
+            f"[train] ScenesPerBatch={scenes_per_batch} is not divisible by "
+            f"{n_shards} devices; rounding the global scene batch up to "
+            f"{scenes_local * n_shards}"
+        )
 
     key = jax.random.PRNGKey(seed)
     params = init_decoder_params(spec, key)

@@ -133,7 +133,14 @@ class StubVisualizer:
 class OptVisualizer(StubVisualizer):
     """Open3D-backed interactive visualizer. Import-guarded: constructing it
     without open3d raises with a clear message; use `make_visualizer` to
-    fall back to the stub automatically."""
+    fall back to the stub automatically.
+
+    Key map (parity with the reference's printed help, `opt_visualizer.py:235`):
+    [SPACE] pause/start, [N] skip this fruit, [V] switch back to the default
+    viewpoint, [M] toggle the completed mesh, [F] toggle the pose coordinate
+    frame, [G] toggle the ground-truth scan, [C] toggle the mesh in the
+    canonical frame, [ESC/Q] exit.
+    """
 
     def __init__(self, frame_axis_len: float = 0.1, pause_time_s: float = 1e-2):
         super().__init__(frame_axis_len, pause_time_s)
@@ -152,12 +159,35 @@ class OptVisualizer(StubVisualizer):
         self.scan = o3d.geometry.PointCloud()
         self.gt_scan = o3d.geometry.PointCloud()
         self.mesh = o3d.geometry.TriangleMesh()
+        self.cano_mesh = o3d.geometry.TriangleMesh()
         self.frame = o3d.geometry.TriangleMesh()
+        self.txt = o3d.geometry.PointCloud()
+        # display toggles (reference opt_visualizer.py:112-121)
+        self.render_mesh = True
+        self.render_frame = True
+        self.render_gt = True
+        self.vis_cano = False
+        self.global_view = False
+        # canonical-mesh / iteration-counter anchor (set by add_scan,
+        # reference opt_visualizer.py:171-175)
+        self.cano_tran = np.zeros(3)
+        self.txt_tran = np.zeros(3)
         self.vis = o3d.visualization.VisualizerWithKeyCallback()
         self._register_key_callbacks()
-        self.vis.create_window()
+        self.vis.create_window(window_name=self.__class__.__name__)
         self.vis.get_render_option().light_on = True
         self.vis.get_render_option().mesh_show_back_face = True
+        self.view_control = self.vis.get_view_control()
+        self.camera_params = self.view_control.convert_to_pinhole_camera_parameters()
+        print(100 * "*")
+        print(
+            f"{self.__class__.__name__} initialized. Press [SPACE] to "
+            "pause/start, [N] to skip, [V] to switch back to the default "
+            "viewpoint, [M] to toggle the completed mesh, [F] to toggle the "
+            "pose coordinate frame, [G] to toggle the ground truth mesh if "
+            "available, [C] to toggle the mesh visualization in the "
+            "canonical frame, [ESC / Q] to exit."
+        )
 
     # -- geometry updates ---------------------------------------------------
 
@@ -189,6 +219,15 @@ class OptVisualizer(StubVisualizer):
         self.scan.points = pcd.points
         self.scan.colors = pcd.colors
         self.vis.add_geometry(self.scan, self.reset_bounding_box)
+        # canonical-mesh anchor beside the scan + iteration-counter anchor
+        # (reference opt_visualizer.py:171-182)
+        self.cano_tran = np.asarray(
+            self.scan.get_axis_aligned_bounding_box().get_center()
+        ).copy()
+        self.cano_tran[0] += 2 * self.frame_axis_len
+        self.txt_tran = np.copy(self.cano_tran)
+        self.txt_tran[0] -= 3.5 * self.frame_axis_len
+        self._set_txt(0)
         self.update_view()
 
     def add_gt_scan(self, gt_scan) -> None:
@@ -207,27 +246,44 @@ class OptVisualizer(StubVisualizer):
         self.vis.update_geometry(self.mesh)
         self.update_view()
 
+    def _set_txt(self, iteration: int) -> None:
+        """Iteration-counter overlay (reference opt_visualizer.py:349-351)."""
+        self.vis.remove_geometry(self.txt, False)
+        sprite = self._to_o3d_pcd(text_3d(str(iteration), self.txt_tran))
+        self.txt = sprite
+        self.vis.add_geometry(self.txt, False)
+
     def update_mesh_pose(self, cano_mesh, transform, iteration: int) -> None:
-        """Show the completed mesh posed by `transform` plus a pose frame
-        (reference `update_mesh_pose`, `opt_visualizer.py:155-165`)."""
+        """Show the completed mesh posed by `transform`, the pose frame, the
+        optional canonical-frame copy and the iteration counter (reference
+        `update_mesh_pose`/`_update_mesh_cano`, `opt_visualizer.py:155-165,
+        330-355`)."""
         o3d = self._o3d
         m = self._to_o3d_mesh(cano_mesh)
-        posed = o3d.geometry.TriangleMesh(m).transform(np.asarray(transform, np.float64))
-        self.mesh.vertices = posed.vertices
-        self.mesh.triangles = posed.triangles
-        self.mesh.vertex_colors = posed.vertex_colors
-        self.mesh.compute_vertex_normals()
-        frame = o3d.geometry.TriangleMesh.create_coordinate_frame(self.frame_axis_len)
-        frame.transform(np.asarray(transform, np.float64))
-        self.frame.vertices = frame.vertices
-        self.frame.triangles = frame.triangles
-        self.frame.vertex_colors = frame.vertex_colors
-        if iteration == 0:
+        T = np.asarray(transform, np.float64)
+
+        self.vis.remove_geometry(self.mesh, self.reset_bounding_box)
+        self.vis.remove_geometry(self.cano_mesh, False)
+        if self.render_mesh:
+            self.mesh = o3d.geometry.TriangleMesh(m).transform(T)
+            self.mesh.compute_vertex_normals()
             self.vis.add_geometry(self.mesh, self.reset_bounding_box)
+            if self.vis_cano:
+                self.cano_mesh = o3d.geometry.TriangleMesh(m).translate(self.cano_tran)
+                self.cano_mesh.compute_vertex_normals()
+                self.vis.add_geometry(self.cano_mesh, False)
+
+        self.vis.remove_geometry(self.frame, False)
+        if self.render_frame:
+            self.frame = o3d.geometry.TriangleMesh.create_coordinate_frame(
+                self.frame_axis_len
+            ).transform(T)
             self.vis.add_geometry(self.frame, False)
-        else:
-            self.vis.update_geometry(self.mesh)
-            self.vis.update_geometry(self.frame)
+
+        self._set_txt(iteration)
+        if self.reset_bounding_box:
+            self.vis.reset_view_point(True)
+            self.reset_bounding_box = False
         self.update_view()
         self.pause_view()
 
@@ -243,22 +299,23 @@ class OptVisualizer(StubVisualizer):
         time.sleep(self.pause_time_s)
 
     def clean_vis(self) -> None:
+        self.skip_flag = False
         self.vis.clear_geometries()
         self.scan = self._o3d.geometry.PointCloud()
         self.gt_scan = self._o3d.geometry.PointCloud()
         self.mesh = self._o3d.geometry.TriangleMesh()
+        self.cano_mesh = self._o3d.geometry.TriangleMesh()
         self.frame = self._o3d.geometry.TriangleMesh()
+        self.txt = self._o3d.geometry.PointCloud()
         self.reset_bounding_box = True
 
     def stop(self) -> bool:
-        """Block until SPACE/N/S, return (and clear) the skip flag
-        (`opt_visualizer.py:211-220`)."""
+        """Block until SPACE (continue) or N (skip); returns the skip flag,
+        which persists until `clean_vis` (`opt_visualizer.py:211-220,134-135`)."""
         self.block_vis = True
         while self.block_vis:
             self.update_view()
-        skip = self.skip_flag
-        self.skip_flag = False
-        return skip
+        return self.skip_flag
 
     def destroy_window(self) -> None:
         self.vis.destroy_window()
@@ -270,45 +327,56 @@ class OptVisualizer(StubVisualizer):
             self.vis.register_key_callback(ord(key), callback)
 
     def _register_key_callbacks(self) -> None:
+        self._register_key_callback(["Q", "\x1b"], self._quit)
         self._register_key_callback([" "], self._start_stop)
-        self._register_key_callback(["N"], self._next_frame)
-        self._register_key_callback(["S"], self._skip)
-        self._register_key_callback(["V"], self._toggle_frame)
+        self._register_key_callback(["V"], self._toggle_view)
+        self._register_key_callback(["F"], self._toggle_frame)
         self._register_key_callback(["M"], self._toggle_mesh)
+        self._register_key_callback(["C"], self._toggle_cano)
+        self._register_key_callback(["N"], self._skip)
         self._register_key_callback(["G"], self._toggle_gt)
-        self._register_key_callback(["Q"], self._quit)
 
     def _start_stop(self, vis) -> None:
         self.play_crun = not self.play_crun
-        self.block_vis = False
-
-    def _next_frame(self, vis) -> None:
         self.block_vis = False
 
     def _skip(self, vis) -> None:
         self.skip_flag = True
         self.block_vis = False
 
+    def _toggle_view(self, vis) -> None:
+        """Save/restore the camera viewpoint (reference
+        `_toggle_view`, opt_visualizer.py:358-365)."""
+        self.global_view = not self.global_view
+        vis.update_renderer()
+        vis.reset_view_point(True)
+        current = self.view_control.convert_to_pinhole_camera_parameters()
+        if self.camera_params is not None and not self.global_view:
+            self.view_control.convert_from_pinhole_camera_parameters(self.camera_params)
+        self.camera_params = current
+
     def _toggle_frame(self, vis) -> None:
-        if self.frame in (g for g in ()):
-            return
-        # toggling by re-adding/removing the frame geometry
-        try:
+        self.render_frame = not self.render_frame
+        if not self.render_frame:
             vis.remove_geometry(self.frame, False)
-        except Exception:
-            vis.add_geometry(self.frame, False)
 
     def _toggle_mesh(self, vis) -> None:
-        try:
+        self.render_mesh = not self.render_mesh
+        if not self.render_mesh:
             vis.remove_geometry(self.mesh, False)
-        except Exception:
-            vis.add_geometry(self.mesh, False)
+            vis.remove_geometry(self.cano_mesh, False)
+
+    def _toggle_cano(self, vis) -> None:
+        self.vis_cano = not self.vis_cano
+        if not self.vis_cano:
+            vis.remove_geometry(self.cano_mesh, False)
 
     def _toggle_gt(self, vis) -> None:
-        try:
-            vis.remove_geometry(self.gt_scan, False)
-        except Exception:
+        self.render_gt = not self.render_gt
+        if self.render_gt:
             vis.add_geometry(self.gt_scan, False)
+        else:
+            vis.remove_geometry(self.gt_scan, False)
 
     def _quit(self, vis) -> None:
         import sys

@@ -108,6 +108,45 @@ def make_reference_decoder(spec, seed: int = 0):
     return dec, state
 
 
+def torch_decoder_from_params(params, spec):
+    """The REAL reference Decoder class loaded with our folded JAX params
+    (inverse of `models/workspace.convert_torch_checkpoint`: weights
+    transposed back to torch's [out, in], no weight norm)."""
+    install()
+    from deepsdf.networks.deep_sdf_decoder import Decoder
+
+    dec = Decoder(
+        latent_size=spec.code_length,
+        dims=list(spec.dims),
+        dropout=None,
+        dropout_prob=0.0,
+        norm_layers=(),
+        latent_in=list(spec.latent_in),
+        weight_norm=False,
+        xyz_in_all=False,
+        use_tanh=False,
+        latent_dropout=False,
+    )
+    state = {}
+    for l in range(spec.num_linear):
+        state[f"lin{l}.weight"] = torch.from_numpy(
+            np.asarray(params[f"lin{l}"]["w"], np.float32).T.copy())
+        state[f"lin{l}.bias"] = torch.from_numpy(
+            np.asarray(params[f"lin{l}"]["b"], np.float32).copy())
+    dec.load_state_dict(state)
+    dec.eval()
+    return dec
+
+
+def torch_render_data(render_data: dict) -> dict:
+    """numpy dict-of-lists render data (`data/rays.get_render_data`) ->
+    the torch layout the reference Optimizer consumes (`utils.py:96-106`)."""
+    out = dict(render_data)
+    for k in ("T_wc", "rays_fg", "rays_bg", "depth_fg", "depth_bg"):
+        out[k] = [torch.from_numpy(np.asarray(a, np.float32)) for a in render_data[k]]
+    return out
+
+
 def reference_cfg(cfg, device: str = "cpu") -> dict:
     """Reference YAML-schema config dict from a JointOptConfig
     (the raw-dict shape `Optimizer.__init__` reads, `optimizer.py:17-53`)."""

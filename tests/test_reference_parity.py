@@ -322,3 +322,30 @@ def test_full_solve_trajectory_parity(ref_modules, decoders, scene):
                                rtol=5e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(res.T_ow), T_ref.numpy(),
                                rtol=5e-3, atol=1e-3)
+
+
+def test_exp_sim3_ref_matches_reference(ref_modules):
+    """exp_sim3_ref replicates the reference Sim(3) exponential BIT-FOR-BIT
+    in behavior, including the c=0 quirk for every s <= 1e-8 (`utils.py:314`)
+    — not just near the branch point."""
+    _, ref_utils, _ = ref_modules
+    from hortimapping_tpu.ops.lie import exp_sim3_ref
+
+    rng = np.random.default_rng(0)
+    cases = [rng.normal(size=7).astype(np.float32) * s
+             for s in (1.0, 0.3, 1e-3)]
+    for s_val in (0.0, 1e-9, 2e-8, 1e-6, -1e-6, -0.1, 0.1, 0.5, -0.5):
+        x = rng.normal(size=7).astype(np.float32) * 0.2
+        x[6] = s_val
+        cases.append(x)
+    x_small_theta = np.zeros(7, np.float32)
+    x_small_theta[:3] = [0.01, -0.02, 0.03]
+    for s_val in (0.0, -0.2, 0.2):
+        y = x_small_theta.copy()
+        y[6] = s_val
+        cases.append(y)
+    for x in cases:
+        want = ref_utils.exp_sim3(torch.from_numpy(x.copy())).numpy()
+        got = np.asarray(exp_sim3_ref(jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6,
+                                   err_msg=f"tangent {x}")

