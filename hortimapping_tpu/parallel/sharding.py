@@ -39,7 +39,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hortimapping_tpu.config import JointOptConfig
 from hortimapping_tpu.models.decoder import DecoderSpec, Params
-from hortimapping_tpu.optim.lm import shape_pose_joint_opt_batched
+from hortimapping_tpu.optim.lm import (
+    coarse_to_fine_joint_opt,
+    shape_pose_joint_opt_batched,
+)
 from hortimapping_tpu.optim.state import FruitObservations, OptResult
 
 
@@ -148,7 +151,11 @@ def shard_joint_opt(
         check_vma=False,
     )
     def _run(params_, obs_, lat0_, T0_):
-        return shape_pose_joint_opt_batched(
+        # both phases of the two-resolution solve (and the trust-region
+        # while_loop) are per-lane local math — still zero collectives
+        solver = (coarse_to_fine_joint_opt if cfg.coarse_to_fine
+                  else shape_pose_joint_opt_batched)
+        return solver(
             params_, spec, cfg, obs_, lat0_, T0_, cube_radius, pose_known
         )
 

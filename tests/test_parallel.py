@@ -136,3 +136,25 @@ def test_solve_in_chunks_matches_unchunked():
     np.testing.assert_allclose(np.asarray(res.latent), np.asarray(ref.latent), atol=2e-4)
     np.testing.assert_array_equal(np.asarray(res.iter_count), np.asarray(ref.iter_count))
     assert res.latent.shape[0] == 7
+
+
+def test_shard_coarse_to_fine_matches_single_device():
+    """The two-resolution solver sharded over the fruit mesh equals the
+    unsharded batched result (both phases are per-lane local math, so the
+    sharded program stays collective-free)."""
+    import dataclasses
+
+    from hortimapping_tpu.optim.lm import coarse_to_fine_joint_opt
+
+    params, spec = _world()
+    obs, lat, T = _batch(spec, 8)
+    cfg = dataclasses.replace(CFG, coarse_to_fine=True, fine_max_iter=2,
+                              coarse_frame_stride=2)
+
+    ref = coarse_to_fine_joint_opt(params, spec, cfg, obs, lat, T, cube_radius=0.1)
+    res = shard_joint_opt(
+        params, spec, cfg, obs, lat, T, cube_radius=0.1, mesh=fruit_mesh()
+    )
+    np.testing.assert_allclose(np.asarray(res.latent), np.asarray(ref.latent), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res.T_ow), np.asarray(ref.T_ow), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(res.iter_count), np.asarray(ref.iter_count))
