@@ -349,3 +349,141 @@ def test_exp_sim3_ref_matches_reference(ref_modules):
         got = np.asarray(exp_sim3_ref(jnp.asarray(x)))
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6,
                                    err_msg=f"tangent {x}")
+
+
+def test_get_render_data_matches_reference(ref_modules):
+    """`data/rays.get_render_data` vs the real `utils.get_render_data`
+    (`utils.py:39-109`) on identical synthetic frames with the same global
+    numpy seed — bit-identical sampling order (SURVEY §7: seed-compatible
+    `np.random.choice`), including the bbox padding/clipping, min-match and
+    max-bbox frame gates.
+    """
+    _, ref_utils, _ = ref_modules
+    from hortimapping_tpu.data.rays import get_render_data as my_grd
+
+    H, W = 96, 128
+    rng = np.random.default_rng(7)
+    id_imgs, depth_imgs, poses = {}, {}, {}
+    for f in range(4):
+        inst = np.zeros((H, W), np.int32)
+        cy, cx, r = 40 + 3 * f, 60 - 4 * f, 14 + f
+        yy, xx = np.mgrid[0:H, 0:W]
+        inst[(yy - cy) ** 2 + (xx - cx) ** 2 < r * r] = 1
+        depth = (0.5 + 0.1 * rng.random((H, W))).astype(np.float32)
+        depth[rng.random((H, W)) < 0.05] = 0.0   # holes
+        if f == 3:
+            inst[:] = 0
+            inst[10:13, 10:13] = 1               # < 400 px: frame rejected
+        fid = f"fr{f:03d}"
+        id_imgs[fid] = inst
+        depth_imgs[fid] = depth
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = rng.normal(size=3).astype(np.float32)
+        poses[fid] = T
+    K = np.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1]])
+    invK = np.linalg.inv(K)
+
+    ref_cfg = {"device": "cpu",
+               "opt": {"render": {"n_fg_pix": 50, "n_bg_pix": 40, "n_bg_pad": 8}}}
+    np.random.seed(123)
+    ref = ref_utils.get_render_data(1, id_imgs, depth_imgs, poses, (H, W),
+                                    invK, ref_cfg)
+    np.random.seed(123)
+    mine = my_grd(1, id_imgs, depth_imgs, poses, (H, W), invK,
+                  n_fg_pix=50, n_bg_pix=40, n_bg_pad=8)
+
+    assert mine["count"] == ref["count"] == 3
+    assert mine["frame_id"] == ref["frame_id"]
+    for f in range(ref["count"]):
+        for key in ("rays_fg", "rays_bg", "depth_fg", "depth_bg", "T_wc"):
+            np.testing.assert_array_equal(
+                np.asarray(mine[key][f]), ref[key][f].numpy(),
+                err_msg=f"frame {f} key {key}")
+        np.testing.assert_array_equal(mine["pix_fg"][f], ref["pix_fg"][f])
+        np.testing.assert_array_equal(mine["pix_bg"][f], ref["pix_bg"][f])
+
+
+def test_micro_ops_match_reference(ref_modules):
+    """Per-op parity against the real reference utilities: Huber robust
+    weights (`utils.py:327-358`), sdf->occupancy conversions
+    (`utils.py:125-142`), point-to-pose Jacobians (`utils.py:197-276`),
+    rotation-angle extraction (`utils.py:360-369`), SE(3) exponential
+    (`utils.py:220-254`), and the mesher's voxel-grid layout
+    (`utils.py:542-562`)."""
+    _, ref_utils, _ = ref_modules
+    from hortimapping_tpu.ops import (
+        exp_se3, points_to_pose_jacobian_se3, points_to_pose_jacobian_sim3,
+        rotation_matrix_to_angle, sdf_to_occupancy, sdf_to_occupancy_log,
+    )
+    from hortimapping_tpu.ops.robust import robust_residuals
+    from hortimapping_tpu.ops.mesher import create_voxel_grid
+
+    rng = np.random.default_rng(3)
+
+    # Huber: incl. zeros (the w(0)=0 quirk) and values at the threshold
+    res = np.concatenate([rng.normal(size=32).astype(np.float32) * 0.05,
+                          np.zeros(3, np.float32), [0.02, -0.02]]).astype(np.float32)
+    ref_r, ref_w2 = ref_utils.get_robust_res(torch.from_numpy(res.copy()), 0.02)
+    my_r, my_w2 = robust_residuals(jnp.asarray(res), 0.02)
+    np.testing.assert_allclose(np.asarray(my_r), ref_r.numpy().reshape(-1),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(my_w2), ref_w2.numpy().reshape(-1),
+                               rtol=1e-6, atol=1e-7)
+
+    # sdf -> occupancy, linear clamp + logistic
+    sdf = (rng.normal(size=64) * 0.05).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(sdf_to_occupancy(jnp.asarray(sdf), 0.01)),
+        ref_utils.sdf_to_occupancy(torch.from_numpy(sdf), 0.01).numpy(),
+        rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(sdf_to_occupancy_log(jnp.asarray(sdf), 0.0018)),
+        ref_utils.sdf_to_occupancy_log(torch.from_numpy(sdf), 0.0018).numpy(),
+        rtol=1e-5, atol=1e-7)
+
+    # point-to-pose Jacobians
+    pts = rng.normal(size=(17, 3)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(points_to_pose_jacobian_se3(jnp.asarray(pts))),
+        ref_utils.get_points_to_pose_jacobian_se3(torch.from_numpy(pts)).numpy())
+    np.testing.assert_array_equal(
+        np.asarray(points_to_pose_jacobian_sim3(jnp.asarray(pts))),
+        ref_utils.get_points_to_pose_jacobian_sim3(torch.from_numpy(pts)).numpy())
+
+    # rotation angle + SE(3) exponential (series vs closed form: tolerance)
+    for scale in (1.0, 0.1, 1e-3):
+        x = (rng.normal(size=6) * scale).astype(np.float32)
+        T_ref = ref_utils.exp_se3(torch.from_numpy(x.copy())).numpy()
+        T_my = np.asarray(exp_se3(jnp.asarray(x)))
+        np.testing.assert_allclose(T_my, T_ref, rtol=1e-5, atol=1e-6)
+        ang_ref = float(ref_utils.rotation_matrix_to_axis_angle(
+            torch.from_numpy(T_ref[:3, :3].copy())))
+        ang_my = float(rotation_matrix_to_angle(jnp.asarray(T_ref[:3, :3])))
+        # acos((trace-1)/2) in f32 has ~1e-4 rad absolute noise near zero
+        # rotation; the consumer threshold is epsilon_r ~ 1 deg = 0.017 rad
+        np.testing.assert_allclose(ang_my, ang_ref, rtol=1e-4, atol=3e-4)
+
+    # voxel grid layout. DELIBERATE divergence: the reference computes the
+    # x/y indices with `overall_index.long() / vol_dim` (`utils.py:552-554`),
+    # which on the torch>=1.5 the reference ships against (README.md:39,
+    # torch 2.0) is TRUE division — its "grid" is a sheared continuous ramp
+    # (each z-row drifts ~1 voxel in y across the row), not a lattice, while
+    # the marching-cubes reshape assumes a lattice. We build the integer-
+    # division lattice the original DeepSDF (torch 1.0 semantics) intended.
+    ref_grid = ref_utils.create_voxel_grid(16).numpy()
+    my_grid = create_voxel_grid(16)
+    # z column uses integer modulo on both sides -> identical
+    np.testing.assert_allclose(my_grid[:, 2], ref_grid[:, 2], atol=1e-6)
+    # the reference's y column is fractional (the artifact); ours is a lattice
+    step = 2.0 / 15
+
+    def off_lattice(col):
+        t = (col + 1.0) / step
+        return np.abs(t - np.round(t))
+
+    assert off_lattice(ref_grid[:, 1]).max() > 0.01, (
+        "reference grid became a lattice — torch semantics changed; "
+        "re-evaluate this divergence")
+    assert off_lattice(my_grid[:, 1]).max() < 1e-4
+    # and ours matches the reference's within half a voxel everywhere
+    assert np.abs(my_grid - ref_grid).max() < step
