@@ -105,3 +105,20 @@ def test_wild_pipeline_resume_skips_done(wild_dir):
     # nothing new to do: every result this run is for a not-yet-valid submap
     assert all(not r.valid or r.name not in {e["name"] for e in done_before if e["valid"]}
                for r in results) or results == []
+
+
+def test_wild_pipeline_coarse_to_fine(wild_dir):
+    """The wild pipeline with the opt.tpu two-resolution solver block
+    (configs/wild_pepper_tpu.yaml pattern) completes the same submaps."""
+    from hortimapping_tpu.pipeline.wild import run_wild_completion
+
+    cfg = _cfg(wild_dir)
+    cfg["run_name"] = "wild_test_c2f"
+    cfg["opt"]["tpu"] = {
+        "coarse_to_fine": True, "coarse_frame_stride": 2,
+        "coarse_ray_frac": 0.5, "coarse_sample_frac": 0.5,
+        "coarse_pts_frac": 0.5, "fine_max_iter": 4,
+    }
+    results = run_wild_completion(cfg, log=lambda *a: None)
+    assert len(results) > 0
+    assert any(r.valid for r in results)
