@@ -114,8 +114,10 @@ class MeshExtractor:
         while the TPU is free for the next batch."""
         d = self.voxels_dim
         grids = np.asarray(self._decode_grid_batch(jnp.asarray(latents))).reshape(-1, d, d, d)
-        # threading pays only for large grids (80^3 berry-resolution and up);
-        # at 40^3 the per-task cost (~3 ms) is below thread-pool overhead
+        # threading pays only for large grids (80^3 berry-resolution and up):
+        # re-measured round 2 at 40^3 x 16 fruits — serial 61 ms vs pooled
+        # 90 ms (the per-task ~4 ms is mostly GIL-bound numpy prep, so the
+        # pool only adds switching overhead on this host)
         if grids.shape[0] > 4 and d >= 64:
             from concurrent.futures import ThreadPoolExecutor
 
