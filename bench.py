@@ -63,21 +63,21 @@ def main():
     # wild_pepper.yaml workload shapes (configs/wild_pepper.yaml:30-49), solved
     # with the two-resolution schedule (optim/lm.coarse_to_fine_joint_opt):
     # phase A on every 4th frame at 0.3x rays / 0.35x samples / 0.3x points
-    # (~16x cheaper per iteration, up to the reference's 50-iteration budget),
+    # (~16x cheaper per iteration, capped at 25 iterations — the coarse
+    # problem converges by then),
     # phase B full-resolution polish capped at 2. Measured AGAINST the
     # single-phase reference-parity solve on this workload
     # (tools/perf_probe.py, 16 fruits vs analytic GT, held-out seeds too):
-    # 208 -> ~26 ms/fruit with mean Chamfer-L1 0.525 vs 0.634 mm (17%
-    # BETTER) and max CD 1.130 vs 1.424 mm — the speedup does not trade
-    # quality (held-out seeds: 0.661 vs 0.778 mm at the same speed as the
-    # cap-4 schedule). docs/PERF.md has the sweep and the challenge-config negative
+    # 208 -> ~22 ms/fruit with mean Chamfer-L1 0.528 vs 0.634 mm (17%
+    # BETTER) and max CD 1.184 vs 1.424 mm — the speedup does not trade
+    # quality (held-out seeds: 0.670 vs 0.778 mm). docs/PERF.md has the sweep and the challenge-config negative
     # result (c2f stays per-config opt-in).
     cfg = JointOptConfig(
         scale_on=True, n_fg_pix=200, n_bg_pix=200, n_frame=10,
         n_sample_on_ray=30, recon_n_pts=2000, max_iter=50,
         coarse_to_fine=True, fine_max_iter=2,
         coarse_frame_stride=4, coarse_ray_frac=0.3, coarse_sample_frac=0.35,
-        coarse_pts_frac=0.3,
+        coarse_pts_frac=0.3, coarse_max_iter=25,
     )
     cube_radius = 0.08  # object_radius_max_m, wild_pepper.yaml
     mc_res_mm = 4.0

@@ -65,6 +65,33 @@ class CompletionResult:
     batch_size: int = 0              # real lanes in the batch that served it
 
 
+def _pack_result(res) -> "np.ndarray":
+    """[B, C+19] device array: latent | T_ow(16) | iters | failed | converged.
+
+    Packing on device lets the worker retrieve a whole batch result in ONE
+    host transfer instead of five (each costs a full round trip + polling
+    backoff on remote-TPU links)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def pack(r):
+        B = r.latent.shape[0]
+        f32 = jnp.float32
+        return jnp.concatenate(
+            [
+                r.latent.astype(f32),
+                r.T_ow.reshape(B, 16).astype(f32),
+                r.iter_count.astype(f32)[:, None],
+                r.failed.astype(f32)[:, None],
+                r.converged.astype(f32)[:, None],
+            ],
+            axis=1,
+        )
+
+    return pack(res)
+
+
 def _shape_key(req: CompletionRequest) -> Tuple:
     import jax
 
@@ -266,13 +293,17 @@ class CompletionServer:
                     self.params, self.spec, self.cfg, obs, lat0, T0,
                     self.cube_radius, reqs[0].pose_known,
                 )
-                # one batched fetch (the sync point; see docs/PERF.md on
-                # per-item fetches over remote-TPU links)
-                T_ows = np.asarray(res.T_ow)
-                latents = np.asarray(res.latent)
-                iters = np.asarray(res.iter_count)
-                failed = np.asarray(res.failed)
-                conv = np.asarray(res.converged)
+                # ONE packed fetch: separate np.asarray calls per result
+                # field each pay a remote-TPU round trip with polling
+                # backoff (~250 ms each over the axon tunnel — measured
+                # ~1.1 s/batch of pure fetch overhead vs ~0.38 s of solve)
+                C = res.latent.shape[1]
+                packed = np.asarray(_pack_result(res))
+                latents = packed[:, :C]
+                T_ows = packed[:, C:C + 16].reshape(-1, 4, 4)
+                iters = packed[:, C + 16].astype(np.int32)
+                failed = packed[:, C + 17] > 0.5
+                conv = packed[:, C + 18] > 0.5
                 meshes = [None] * n
                 if self.mesher is not None:
                     T_wo = np.linalg.inv(T_ows[:n])

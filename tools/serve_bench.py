@@ -70,8 +70,11 @@ def main() -> None:
                            max_batch=args.max_batch, max_wait_s=0.01,
                            mesher=mesher)
     with srv:
-        # warmup: compile the bucket program
-        [srv.submit(r).result(timeout=900) for r in reqs[: args.max_batch]]
+        # warmup with one FULL batch submitted together: sequential singles
+        # would warm the padded batch-of-1 path but leave the full-width
+        # jnp.stack/concat programs cold (~3 s first-batch penalty)
+        warm = [srv.submit(r) for r in reqs[: args.max_batch]]
+        [f.result(timeout=900) for f in warm]
         t0 = time.perf_counter()
         futs = [srv.submit(r) for r in reqs]  # saturating producer
         results = [f.result(timeout=900) for f in futs]
