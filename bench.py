@@ -94,12 +94,15 @@ def main():
         res = coarse_to_fine_joint_opt(
             params, spec, cfg, obs, lat0, T0, cube_radius
         )
-        # ONE batched device->host fetch of all poses is the sync point:
-        # per-fruit np.asarray would pay a ~30 ms tunnel round trip each
-        # (measured 480 ms/rep), and jax.block_until_ready polls with
-        # backoff over the remote-TPU link (~+1 s on a 2.3 s solve)
+        # dispatch the mesh-grid decode BEFORE the pose fetch so the decode
+        # runs on device while the poses cross the (slow) tunnel; each
+        # np.asarray is a round trip with polling backoff, so per-fruit
+        # fetches would cost ~30 ms each (measured 480 ms/rep)
+        grids_dev = mesher.decode_grids_async(res.latent)
         T_wo = np.linalg.inv(np.asarray(res.T_ow))
-        meshes = mesher.complete_mesh_batch(res.latent, list(T_wo))
+        meshes = [
+            m.transform(T) for m, T in zip(mesher.meshes_from_grids(grids_dev), T_wo)
+        ]
         return res, meshes
 
     run()  # warmup: compile + first meshing

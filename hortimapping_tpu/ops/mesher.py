@@ -106,6 +106,18 @@ class MeshExtractor:
         grid = self.decode_sdf_grid(latent)
         return self._grid_to_mesh(grid)
 
+    def decode_grids_async(self, latents: jnp.ndarray) -> jnp.ndarray:
+        """Dispatch the batched grid decode WITHOUT syncing — callers can
+        overlap other device->host fetches (e.g. the solver's pose fetch)
+        with the decode, then finish via `meshes_from_grids`."""
+        return self._decode_grid_batch(jnp.asarray(latents))
+
+    def meshes_from_grids(self, grids_dev) -> List[TriangleMesh]:
+        """Host iso-surfacing of grids from `decode_grids_async`."""
+        d = self.voxels_dim
+        grids = np.asarray(grids_dev).reshape(-1, d, d, d)
+        return self._meshes_from_host_grids(grids)
+
     def extract_batch(self, latents: jnp.ndarray) -> List[TriangleMesh]:
         """All fruits of a submap: one vmapped TPU decode, host MT per fruit.
 
@@ -114,6 +126,10 @@ class MeshExtractor:
         while the TPU is free for the next batch."""
         d = self.voxels_dim
         grids = np.asarray(self._decode_grid_batch(jnp.asarray(latents))).reshape(-1, d, d, d)
+        return self._meshes_from_host_grids(grids)
+
+    def _meshes_from_host_grids(self, grids: np.ndarray) -> List[TriangleMesh]:
+        d = self.voxels_dim
         # threading pays only for large grids (80^3 berry-resolution and up):
         # re-measured round 2 at 40^3 x 16 fruits — serial 61 ms vs pooled
         # 90 ms (the per-task ~4 ms is mostly GIL-bound numpy prep, so the
