@@ -104,9 +104,10 @@ class JointOptConfig:
     # (`optimizer.py:220-225`). Same residuals/weights/convergence tests;
     # per-lane lambda adapts by deferred step acceptance, converging the
     # slow tail in far fewer iterations.
+    # lambda evolves by Nielsen's gain-ratio rule (shrink by
+    # max(1/3, 1-(2*rho-1)^3) on accept, grow by a doubling nu on reject),
+    # clamped to [tr_lambda_min, tr_lambda_max]
     trust_region: bool = False
-    tr_lambda_up: float = 4.0
-    tr_lambda_down: float = 0.25
     tr_lambda_min: float = 1e-6
     tr_lambda_max: float = 1e5
     # objective-driven stop (TR mode only): an ACCEPTED step whose relative
@@ -241,8 +242,6 @@ class JointOptConfig:
             epsilon_s=float(cv.get("epsilon_s", d.epsilon_s)),
             robust_iter=int(opt.get("robust_iter", d.robust_iter)),
             trust_region=bool(tpu.get("trust_region", d.trust_region)),
-            tr_lambda_up=float(tpu.get("tr_lambda_up", d.tr_lambda_up)),
-            tr_lambda_down=float(tpu.get("tr_lambda_down", d.tr_lambda_down)),
             tr_lambda_min=float(tpu.get("tr_lambda_min", d.tr_lambda_min)),
             tr_lambda_max=float(tpu.get("tr_lambda_max", d.tr_lambda_max)),
             tr_cost_rtol=float(tpu.get("tr_cost_rtol", d.tr_cost_rtol)),

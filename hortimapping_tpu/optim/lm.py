@@ -361,11 +361,13 @@ def lm_iteration_tr(
     )
 
     accept = cost <= ts.cost            # inf at i=0: first step always accepts
-    af = accept.astype(f32)
-    H_use = af * H + (1.0 - af) * ts.H_acc
-    b_use = af * b + (1.0 - af) * ts.b_acc
-    lat_use = af * s.latent + (1.0 - af) * ts.acc_latent
-    T_use = af * s.T_ow + (1.0 - af) * ts.acc_T_ow
+    # jnp.where, NOT an arithmetic blend: a NaN trial state (overflowed
+    # assembly after a wild step) must roll back cleanly — 0 * NaN would
+    # poison the stored accepted state and the lane could never recover
+    H_use = jnp.where(accept, H, ts.H_acc)
+    b_use = jnp.where(accept, b, ts.b_acc)
+    lat_use = jnp.where(accept, s.latent, ts.acc_latent)
+    T_use = jnp.where(accept, s.T_ow, ts.acc_T_ow)
     cost_use = jnp.where(accept, cost, ts.cost)
     # Nielsen gain ratio: actual vs predicted reduction of the priced step
     rho = (ts.cost - cost) / jnp.maximum(ts.pred, 1e-30)
@@ -447,9 +449,9 @@ def _tr_result(final: TrState) -> OptResult:
     state). Max-iter / failed lanes report the last accepted state instead —
     their in-flight trial was never shown to improve the objective."""
     take_trial = final.base.converged
-    tf = take_trial.astype(jnp.float32)
-    latent = tf * final.base.latent + (1.0 - tf) * final.acc_latent
-    T_ow = tf * final.base.T_ow + (1.0 - tf) * final.acc_T_ow
+    # where, not a blend: a NaN max-iter trial must not leak into the result
+    latent = jnp.where(take_trial, final.base.latent, final.acc_latent)
+    T_ow = jnp.where(take_trial, final.base.T_ow, final.acc_T_ow)
     return OptResult(latent, T_ow, final.base.iter_count, final.base.failed,
                      final.base.converged)
 
@@ -665,6 +667,12 @@ def coarse_to_fine_joint_opt(
         cfg,
         max_iter=cfg.fine_max_iter or cfg.max_iter,
         coarse_to_fine=False,
+        # the fine phase continues an optimization that is already past the
+        # reference's robust ramp-in (`robust_iter`, optimizer.py:145): its
+        # iteration counter restarts at 0, so without this the short
+        # full-resolution polish would run with the Huber kernel OFF and
+        # give outliers full quadratic weight in the returned result
+        robust_iter=0,
     )
     # failed coarse lanes restart the fine phase from the original init
     ff = r_a.failed.astype(jnp.float32)[:, None]

@@ -65,31 +65,37 @@ class CompletionResult:
     batch_size: int = 0              # real lanes in the batch that served it
 
 
+_PACK_JIT = None  # module-level cache: a per-call @jax.jit would retrace
+# and recompile the pack graph on EVERY served batch
+
+
 def _pack_result(res) -> "np.ndarray":
     """[B, C+19] device array: latent | T_ow(16) | iters | failed | converged.
 
     Packing on device lets the worker retrieve a whole batch result in ONE
     host transfer instead of five (each costs a full round trip + polling
     backoff on remote-TPU links)."""
-    import jax
-    import jax.numpy as jnp
+    global _PACK_JIT
+    if _PACK_JIT is None:
+        import jax
+        import jax.numpy as jnp
 
-    @jax.jit
-    def pack(r):
-        B = r.latent.shape[0]
-        f32 = jnp.float32
-        return jnp.concatenate(
-            [
-                r.latent.astype(f32),
-                r.T_ow.reshape(B, 16).astype(f32),
-                r.iter_count.astype(f32)[:, None],
-                r.failed.astype(f32)[:, None],
-                r.converged.astype(f32)[:, None],
-            ],
-            axis=1,
-        )
+        def pack(r):
+            B = r.latent.shape[0]
+            f32 = jnp.float32
+            return jnp.concatenate(
+                [
+                    r.latent.astype(f32),
+                    r.T_ow.reshape(B, 16).astype(f32),
+                    r.iter_count.astype(f32)[:, None],
+                    r.failed.astype(f32)[:, None],
+                    r.converged.astype(f32)[:, None],
+                ],
+                axis=1,
+            )
 
-    return pack(res)
+        _PACK_JIT = jax.jit(pack)
+    return _PACK_JIT(res)
 
 
 def _shape_key(req: CompletionRequest) -> Tuple:

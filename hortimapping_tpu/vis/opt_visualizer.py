@@ -322,12 +322,16 @@ class OptVisualizer(StubVisualizer):
 
     # -- key bindings (opt_visualizer.py:243-251) ---------------------------
 
-    def _register_key_callback(self, keys: List[str], callback: Callable) -> None:
+    def _register_key_callback(self, keys: List, callback: Callable) -> None:
         for key in keys:
-            self.vis.register_key_callback(ord(key), callback)
+            self.vis.register_key_callback(
+                key if isinstance(key, int) else ord(key), callback
+            )
 
     def _register_key_callbacks(self) -> None:
-        self._register_key_callback(["Q", "\x1b"], self._quit)
+        # 256 = GLFW_KEY_ESCAPE (the reference binds it as ord("Ā"),
+        # opt_visualizer.py:244 — ord("\x1b") = 27 would never fire)
+        self._register_key_callback(["Q", 256], self._quit)
         self._register_key_callback([" "], self._start_stop)
         self._register_key_callback(["V"], self._toggle_view)
         self._register_key_callback(["F"], self._toggle_frame)
@@ -357,18 +361,27 @@ class OptVisualizer(StubVisualizer):
 
     def _toggle_frame(self, vis) -> None:
         self.render_frame = not self.render_frame
-        if not self.render_frame:
+        if self.render_frame:
+            vis.add_geometry(self.frame, False)  # re-show immediately, even
+            # when no further update_mesh_pose call follows (stop() wait)
+        else:
             vis.remove_geometry(self.frame, False)
 
     def _toggle_mesh(self, vis) -> None:
         self.render_mesh = not self.render_mesh
-        if not self.render_mesh:
+        if self.render_mesh:
+            vis.add_geometry(self.mesh, False)
+            if self.vis_cano:
+                vis.add_geometry(self.cano_mesh, False)
+        else:
             vis.remove_geometry(self.mesh, False)
             vis.remove_geometry(self.cano_mesh, False)
 
     def _toggle_cano(self, vis) -> None:
         self.vis_cano = not self.vis_cano
-        if not self.vis_cano:
+        if self.vis_cano and self.render_mesh:
+            vis.add_geometry(self.cano_mesh, False)
+        elif not self.vis_cano:
             vis.remove_geometry(self.cano_mesh, False)
 
     def _toggle_gt(self, vis) -> None:
