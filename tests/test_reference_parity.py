@@ -487,3 +487,30 @@ def test_micro_ops_match_reference(ref_modules):
     assert off_lattice(my_grid[:, 1]).max() < 1e-4
     # and ours matches the reference's within half a voxel everywhere
     assert np.abs(my_grid - ref_grid).max() < step
+
+
+def test_shape_opt_deepsdf_parity(ref_modules, decoders, scene):
+    """DeepSDF shape-only baseline vs the reference
+    `Optimizer.shape_opt_deepsdf` (`optimizer.py:306-429`): identical
+    trajectory (recon + codereg terms, pose frozen) and iteration count."""
+    from hortimapping_tpu.optim.lm import shape_opt_deepsdf
+
+    _, _, ref_optimizer = ref_modules
+    dec, params = decoders
+    obs, latent0, T_ow0 = scene
+    cfg = _base_cfg(max_iter=6, epsilon_c=1e-2)
+
+    opt = ref_optimizer.Optimizer(rs.reference_cfg(cfg), dec, mesher=None, vis=None)
+    pts_w = torch.from_numpy(np.asarray(obs.points_w))
+    lat_ref, _, iters_ref = opt.shape_opt_deepsdf(
+        torch.from_numpy(latent0.copy()), torch.from_numpy(T_ow0.copy()),
+        pts_w, None,
+    )
+    pts_o = np.asarray(obs.points_w) @ T_ow0[:3, :3].T + T_ow0[:3, 3]
+    lat_my, iters_my = shape_opt_deepsdf(
+        params, SPEC, cfg, jnp.asarray(pts_o),
+        jnp.ones(pts_o.shape[0], bool), jnp.asarray(latent0),
+    )
+    assert int(iters_my) == iters_ref
+    np.testing.assert_allclose(np.asarray(lat_my), lat_ref.numpy(),
+                               rtol=1e-3, atol=1e-5)
