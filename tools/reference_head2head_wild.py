@@ -1,0 +1,133 @@
+"""Wild-workload head-to-head: genuine reference optimizer vs this framework.
+
+Runs the REAL `/root/reference` `Optimizer.shape_pose_joint_opt`
+(cuda-shimmed, CPU torch) on the same synthetic wild-pepper fruits as
+`bench.py`/`tools/perf_probe.py` — full Sim(3) pose + shape, 10 frames x
+400 rays x 30 samples, 50-iteration budget — and compares completion
+quality (Chamfer-L1 vs the analytic ground-truth surface, shared mesher +
+metrics) against our reference-parity solver and the two-resolution bench
+solver. This grounds the "faster AND better than the reference" claim in
+the actual reference implementation, not our parity mode.
+
+    python tools/reference_head2head_wild.py [--n-fruits 8]
+
+The reference side is slow on CPU (~minutes per fruit at this workload);
+run in the background.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-fruits", type=int, default=8)
+    args = ap.parse_args()
+
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/horti_jax_cache"))
+
+    from hortimapping_tpu.config import JointOptConfig
+    from hortimapping_tpu.data.mesh import PointCloud
+    from hortimapping_tpu.metrics import ChamferDistance
+    from hortimapping_tpu.models.workspace import config_decoder
+    from hortimapping_tpu.ops.mesher import MeshExtractor
+    from hortimapping_tpu.optim import lm
+    from hortimapping_tpu.tools.synthetic import SyntheticCategory, make_scene
+
+    from tests import reference_shim as rs
+
+    params, spec = config_decoder(os.path.join(ROOT, "assets", "synthetic_pepper_32"))
+    cfg = JointOptConfig(
+        scale_on=True, n_fg_pix=200, n_bg_pix=200, n_frame=10,
+        n_sample_on_ray=30, recon_n_pts=2000, max_iter=50,
+    )
+    cfg_c2f = JointOptConfig(
+        scale_on=True, n_fg_pix=200, n_bg_pix=200, n_frame=10,
+        n_sample_on_ray=30, recon_n_pts=2000, max_iter=50,
+        coarse_to_fine=True, fine_max_iter=2, coarse_frame_stride=4,
+        coarse_ray_frac=0.3, coarse_sample_frac=0.35, coarse_pts_frac=0.3,
+        coarse_max_iter=25,
+    )
+    cat = SyntheticCategory(spec=spec, base_radius=0.06)
+    rng = np.random.default_rng(42)
+    obs_list, lat_list, T_list, gts = [], [], [], []
+    for b in range(args.n_fruits):
+        code = (rng.normal(size=spec.code_length) * 0.3).astype(np.float32)
+        T_wo = np.eye(4, dtype=np.float32)
+        T_wo[:3, 3] = rng.normal(size=3) * 0.1
+        obs, gt = make_scene(cat, code, T_wo, n_frames=cfg.n_frame,
+                             n_fg=cfg.n_fg_pix, n_bg=cfg.n_bg_pix,
+                             n_points=cfg.recon_n_pts, seed=b)
+        obs_list.append(obs)
+        lat_list.append(np.zeros(spec.code_length, np.float32))
+        T_list.append(np.linalg.inv(T_wo).astype(np.float32))
+        gts.append(gt)
+    obs_b = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *obs_list)
+    lat0, T0 = jnp.stack(lat_list), jnp.stack(T_list)
+    mesher = MeshExtractor(params, spec, voxels_dim=40, cube_radius=0.08)
+
+    def cds(latents, T_ows):
+        T_wo = np.linalg.inv(np.asarray(T_ows))
+        meshes = mesher.complete_mesh_batch(jnp.asarray(latents), list(T_wo))
+        cd = ChamferDistance()
+        for m, gt in zip(meshes, gts):
+            cd.update(PointCloud(gt), m)
+        return np.array(cd.cd_array)
+
+    # ---- ours ----
+    r_par = lm.shape_pose_joint_opt_batched(params, spec, cfg, obs_b, lat0, T0, 0.08)
+    cd_par = cds(r_par.latent, r_par.T_ow)
+    r_c2f = lm.coarse_to_fine_joint_opt(params, spec, cfg_c2f, obs_b, lat0, T0, 0.08)
+    cd_c2f = cds(r_c2f.latent, r_c2f.T_ow)
+
+    # ---- genuine reference ----
+    dec = rs.torch_decoder_from_params(params, spec)
+    _, _, ref_optimizer = rs.import_reference()
+    opt = ref_optimizer.Optimizer(rs.reference_cfg(cfg), dec, mesher=None, vis=None)
+    lat_refs, T_refs, iters_refs = [], [], []
+    t0 = time.perf_counter()
+    for b in range(args.n_fruits):
+        rd = rs.render_data_from_obs(obs_list[b], cfg.n_fg_pix)
+        lat_r, T_r, it_r = opt.shape_pose_joint_opt(
+            torch.from_numpy(lat_list[b].copy()),
+            torch.from_numpy(T_list[b].copy()),
+            rd, torch.from_numpy(np.asarray(obs_list[b].points_w)),
+            0.08, None, False,
+        )
+        lat_refs.append(lat_r.detach().numpy())
+        T_refs.append(T_r.detach().numpy())
+        iters_refs.append(int(it_r))
+        print(f"reference fruit {b}: {it_r} iters, "
+              f"{time.perf_counter() - t0:.0f}s elapsed", flush=True)
+    cd_ref = cds(np.stack(lat_refs), np.stack(T_refs))
+
+    print("\n== wild-config head-to-head (mean Chamfer-L1 vs analytic GT) ==")
+    print(f"genuine reference (CPU torch): {cd_ref.mean()*1e3:.4f} mm "
+          f"(max {cd_ref.max()*1e3:.3f}), mean iters {np.mean(iters_refs):.1f}")
+    print(f"ours, reference-parity solver: {cd_par.mean()*1e3:.4f} mm "
+          f"(max {cd_par.max()*1e3:.3f})")
+    print(f"ours, coarse-to-fine (bench):  {cd_c2f.mean()*1e3:.4f} mm "
+          f"(max {cd_c2f.max()*1e3:.3f})")
+    print("per-fruit CD [mm]:")
+    for b in range(args.n_fruits):
+        print(f"  fruit {b}: ref {cd_ref[b]*1e3:.3f}  parity {cd_par[b]*1e3:.3f}  "
+              f"c2f {cd_c2f[b]*1e3:.3f}")
+
+
+if __name__ == "__main__":
+    main()
