@@ -77,7 +77,7 @@ def main():
         n_sample_on_ray=30, recon_n_pts=2000, max_iter=50,
         coarse_to_fine=True, fine_max_iter=2,
         coarse_frame_stride=4, coarse_ray_frac=0.3, coarse_sample_frac=0.35,
-        coarse_pts_frac=0.3, coarse_max_iter=25,
+        coarse_pts_frac=0.3, coarse_max_iter=25, coarse_fused_tr=64,
     )
     cube_radius = 0.08  # object_radius_max_m, wild_pepper.yaml
     mc_res_mm = 4.0

@@ -126,6 +126,11 @@ class JointOptConfig:
     coarse_pts_frac: float = 0.5
     coarse_max_iter: int = 0  # 0 = inherit max_iter
     fine_max_iter: int = 0    # 0 = inherit max_iter
+    # fused-kernel rays-per-tile for the COARSE phase only (0 = inherit
+    # fused_tr). The coarse phase's sample axis is ~3x shorter, so a larger
+    # ray tile keeps the kernel's matmul shapes efficient within the same
+    # VMEM budget.
+    coarse_fused_tr: int = 0
     # outlier gates (applied by drivers after optimization)
     outlier_scale_min: float = 0.5
     outlier_scale_max: float = 1.25
@@ -252,6 +257,7 @@ class JointOptConfig:
             coarse_pts_frac=float(tpu.get("coarse_pts_frac", d.coarse_pts_frac)),
             coarse_max_iter=int(tpu.get("coarse_max_iter", d.coarse_max_iter)),
             fine_max_iter=int(tpu.get("fine_max_iter", d.fine_max_iter)),
+            coarse_fused_tr=int(tpu.get("coarse_fused_tr", d.coarse_fused_tr)),
             outlier_scale_min=float(out.get("scale_min", d.outlier_scale_min)),
             outlier_scale_max=float(out.get("scale_max", d.outlier_scale_max)),
             outlier_rot_max_deg=float(out.get("rot_max_deg", d.outlier_rot_max_deg)),

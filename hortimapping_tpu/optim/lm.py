@@ -628,6 +628,7 @@ def subsample_observations(
         recon_n_pts=n_pts,
         max_iter=cfg.coarse_max_iter or cfg.max_iter,
         coarse_to_fine=False,
+        fused_tr=cfg.coarse_fused_tr or cfg.fused_tr,
     )
     return coarse_obs, coarse_cfg
 
