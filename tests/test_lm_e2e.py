@@ -285,3 +285,58 @@ def test_coarse_to_fine_recovers_pose_and_shape(world):
         assert terr < 0.006, f"fruit {k}: translation error {terr*1000:.1f} mm"
         s_est = _scale_of(np.linalg.inv(np.asarray(res.T_ow[k])))
         assert abs(s_est - 1.1) < 0.12, f"fruit {k}: scale {s_est} vs 1.1"
+
+
+def test_robust_kernel_resists_outliers(world):
+    """Contaminated observations: gross depth/point outliers must be damped
+    by the Huber reweighting (optimizer.py:145-149,183-187) — including in
+    the coarse-to-fine FINE phase (which restarts its iteration counter and
+    therefore forces robust_iter=0, see coarse_to_fine_joint_opt)."""
+    import dataclasses
+
+    from hortimapping_tpu.optim.lm import coarse_to_fine_joint_opt
+
+    params, spec, cat, proj = world
+    center = np.array([0.4, 0.1, 0.2])
+    code_gt, T_wo_gt, obs, _ = _fruit(world, 11, center, scale=1.1)
+
+    # contaminate: 10% of fg depths pushed 0.3 m too far, 5% of surface
+    # points offset 5 cm
+    rng = np.random.default_rng(3)
+    depth = np.asarray(obs.depth_obs).copy()
+    fg = CFG.n_fg_pix
+    bad_rays = rng.random(depth[:, :fg].shape) < 0.10
+    depth[:, :fg] = np.where(bad_rays, depth[:, :fg] + 0.3, depth[:, :fg])
+    pts = np.asarray(obs.points_w).copy()
+    bad_pts = rng.random(pts.shape[0]) < 0.05
+    pts[bad_pts] += rng.normal(size=(bad_pts.sum(), 3)) * 0.05
+    obs_bad = obs._replace(depth_obs=jnp.asarray(depth), points_w=jnp.asarray(pts))
+
+    T_wo_init, T_ow_init = _gt_pose(center + np.array([0.010, -0.008, 0.006]))
+    lat0 = jnp.zeros(spec.code_length)
+
+    cfg_rob = dataclasses.replace(CFG, robust_iter=2)
+    res = shape_pose_joint_opt(
+        params, spec, cfg_rob, obs_bad, lat0,
+        jnp.asarray(T_ow_init, jnp.float32), CUBE_RADIUS, False)
+    terr_rob = _translation_error(res.T_ow, T_wo_gt)
+
+    cfg_norob = dataclasses.replace(CFG, robust_iter=CFG.max_iter)  # Huber off
+    res_n = shape_pose_joint_opt(
+        params, spec, cfg_norob, obs_bad, lat0,
+        jnp.asarray(T_ow_init, jnp.float32), CUBE_RADIUS, False)
+    terr_norob = _translation_error(res_n.T_ow, T_wo_gt)
+
+    assert terr_rob < 0.008, f"robust solve drifted {terr_rob*1000:.1f} mm"
+    assert terr_rob <= terr_norob + 1e-4, (
+        f"robust {terr_rob*1000:.2f} mm vs non-robust {terr_norob*1000:.2f} mm")
+
+    # c2f on contaminated data: the fine phase must stay robust
+    cfg_c2f = dataclasses.replace(CFG, robust_iter=2, coarse_to_fine=True,
+                                  fine_max_iter=4)
+    obs_b = jax.tree_util.tree_map(lambda a: a[None], obs_bad)
+    res_c = coarse_to_fine_joint_opt(
+        params, spec, cfg_c2f, obs_b, lat0[None],
+        jnp.asarray(T_ow_init, jnp.float32)[None], CUBE_RADIUS)
+    terr_c2f = _translation_error(res_c.T_ow[0], T_wo_gt)
+    assert terr_c2f < 0.008, f"c2f robust solve drifted {terr_c2f*1000:.1f} mm"
