@@ -22,6 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_FRUITS = 16
 SEED_OFFSET = int(os.environ.get("SEED_OFFSET", "0"))
+# CATEGORY=berry runs the strawberry-scale workload: synthetic_berry_32
+# decoder, 0.04 m radius, 1 mm meshing (80^3 grid — lab_berry.yaml scale)
+CATEGORY = os.environ.get("CATEGORY", "pepper")
 
 
 def main(variants):
@@ -41,12 +44,16 @@ def main(variants):
     from hortimapping_tpu.tools.synthetic import SyntheticCategory, make_scene
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    params, spec = config_decoder(os.path.join(root, "assets", "synthetic_pepper_32"))
+    if CATEGORY == "berry":
+        asset, base_radius, cube_radius, voxels = "synthetic_berry_32", 0.03, 0.04, 80
+    else:
+        asset, base_radius, cube_radius, voxels = "synthetic_pepper_32", 0.06, 0.08, 40
+    params, spec = config_decoder(os.path.join(root, "assets", asset))
     cfg = JointOptConfig(
         scale_on=True, n_fg_pix=200, n_bg_pix=200, n_frame=10,
         n_sample_on_ray=30, recon_n_pts=2000, max_iter=50,
     )
-    cat = SyntheticCategory(spec=spec, base_radius=0.06)
+    cat = SyntheticCategory(spec=spec, base_radius=base_radius)
     rng = np.random.default_rng(42 + SEED_OFFSET)
     obs_list, lat_list, T_list, gts = [], [], [], []
     for b in range(N_FRUITS):
@@ -62,7 +69,7 @@ def main(variants):
         gts.append(gt)
     obs = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *obs_list)
     lat0, T0 = jnp.stack(lat_list), jnp.stack(T_list)
-    mesher = MeshExtractor(params, spec, voxels_dim=40, cube_radius=0.08)
+    mesher = MeshExtractor(params, spec, voxels_dim=voxels, cube_radius=cube_radius)
 
     def cd_of(res):
         T_wo = np.linalg.inv(np.asarray(res.T_ow))
@@ -101,12 +108,12 @@ def main(variants):
 
     for name in variants:
         c, fn = solver_for(name)
-        r = fn(params, spec, c, obs, lat0, T0, 0.08)
+        r = fn(params, spec, c, obs, lat0, T0, cube_radius)
         np.asarray(r.T_ow)  # warmup sync
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            r = fn(params, spec, c, obs, lat0, T0, 0.08)
+            r = fn(params, spec, c, obs, lat0, T0, cube_radius)
             np.asarray(r.T_ow)
             times.append(time.perf_counter() - t0)
         dt = sorted(times)[1]
