@@ -514,3 +514,23 @@ def test_shape_opt_deepsdf_parity(ref_modules, decoders, scene):
     assert int(iters_my) == iters_ref
     np.testing.assert_allclose(np.asarray(lat_my), lat_ref.numpy(),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_pose_metric_matches_reference(ref_modules):
+    """Greenhouse pose rotation metric vs the real `get_deg_between_vectors`
+    (`utils.py:462-479`; ours adds a clip guarding arccos of 1+eps)."""
+    _, ref_utils, _ = ref_modules
+    from hortimapping_tpu.data.preprocess import get_deg_between_vectors
+
+    rng = np.random.default_rng(4)
+    for _ in range(20):
+        v1 = rng.normal(size=3)
+        v2 = rng.normal(size=3)
+        np.testing.assert_allclose(
+            get_deg_between_vectors(v1, v2),
+            float(ref_utils.get_deg_between_vectors(v1, v2)),
+            rtol=1e-6, atol=1e-6)
+    # parallel vectors: the reference can hit arccos(1 + eps) -> nan; ours
+    # clips (documented deviation, same answer where the reference is finite)
+    v = rng.normal(size=3)
+    assert get_deg_between_vectors(v, 2.0 * v) < 1e-3
