@@ -87,10 +87,6 @@ def main():
     mesher = MeshExtractor(params, spec, voxels_dim=voxels_dim, cube_radius=cube_radius)
 
     def run():
-        # NOTE: optim.lm.staged_joint_opt saves ~15% device time here (the
-        # exact fused kernel spreads convergence to 3/20/50 iters), but its
-        # mid-solve host sync costs more than that over this machine's
-        # remote-TPU link; on directly-attached hosts prefer the staged solve
         res = coarse_to_fine_joint_opt(
             params, spec, cfg, obs, lat0, T0, cube_radius
         )
