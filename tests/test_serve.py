@@ -206,3 +206,28 @@ def test_serve_minority_bucket_not_starved():
         f"minority request served at position {pos_b}/{len(order)} — starved")
     stats = srv.stats()
     assert stats["latency_p95_s"] > 0.0
+
+
+def test_serve_coarse_to_fine_matches_direct():
+    """Serving with the two-resolution solver config routes through
+    coarse_to_fine_joint_opt and matches the direct call lane for lane."""
+    import dataclasses
+
+    from hortimapping_tpu.optim.lm import coarse_to_fine_joint_opt
+
+    params, spec = config_decoder(ASSET_DIR)
+    cfg = dataclasses.replace(CFG, coarse_to_fine=True, fine_max_iter=2,
+                              coarse_frame_stride=2)
+    reqs = _requests(spec, 3, seed=21)
+    obs = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[r.obs for r in reqs])
+    lat0 = jnp.stack([jnp.asarray(r.latent0) for r in reqs])
+    T0 = jnp.stack([jnp.asarray(r.T_ow0) for r in reqs])
+    want = coarse_to_fine_joint_opt(params, spec, cfg, obs, lat0, T0, 0.1)
+
+    with CompletionServer(params, spec, cfg, cube_radius=0.1, max_batch=3) as srv:
+        futs = [srv.submit(r) for r in reqs]
+        results = [f.result(timeout=600) for f in futs]
+    for i, r in enumerate(results):
+        assert not r.failed
+        np.testing.assert_allclose(r.latent, np.asarray(want.latent[i]), atol=1e-5)
+        np.testing.assert_allclose(r.T_ow, np.asarray(want.T_ow[i]), atol=1e-5)
