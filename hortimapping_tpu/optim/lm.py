@@ -649,15 +649,19 @@ def coarse_to_fine_joint_opt(
     every `coarse_frame_stride`-th frame, `coarse_ray_frac` of the rays,
     `coarse_sample_frac` of the ray-marching depths, `coarse_pts_frac` of the
     surface points — which is ~(stride / frac^3)x cheaper per iteration
-    (8x at the defaults). Phase B polishes at full resolution from the
-    coarse solution. No reference equivalent (the reference always solves at
-    full resolution, `optimizer.py:88-292`); the fine phase's stationary
-    points are those of the reference objective, and on the wild-pepper
-    bench workload this lands a BETTER mean Chamfer than the single-phase
-    solve (the coarse phase's cheap iterations escape the slow-crawl region
-    fixed-lambda LM spends most of its budget in) at ~0.75x the wall time.
-    Per-fruit iteration counts report the FINE phase only (comparable to the
-    reference's counts in quality terms, not billed-work terms).
+    (8x at the defaults; ~16x at the bench schedule). Phase B polishes at
+    full resolution from the coarse solution, with the Huber robust kernel
+    active from its first iteration (the coarse phase already passed the
+    reference's robust ramp-in). No reference equivalent (the reference
+    always solves at full resolution, `optimizer.py:88-292`); the fine
+    phase's stationary points are those of the reference objective, and on
+    the wild-pepper bench workload the tuned schedule is better on BOTH
+    axes than the single-phase solve — ~22 vs 208 ms/fruit at mean Chamfer
+    0.527 vs 0.634 mm, held-out validated (docs/PERF.md; schedules are
+    per-workload: the small pose_known challenge config is WORSE under
+    c2f and keeps the single-phase default). Per-fruit iteration counts
+    report the FINE phase only (comparable to the reference's counts in
+    quality terms, not billed-work terms).
     """
     coarse_obs, coarse_cfg = subsample_observations(obs, cfg)
     r_a = shape_pose_joint_opt_batched(
