@@ -299,6 +299,11 @@ class CompletionServer:
                     self.params, self.spec, self.cfg, obs, lat0, T0,
                     self.cube_radius, reqs[0].pose_known,
                 )
+                # dispatch the mesh-grid decode BEFORE the packed result
+                # fetch so it runs on device while the results cross the
+                # tunnel
+                grids_dev = (self.mesher.decode_grids_async(res.latent[:n])
+                             if self.mesher is not None else None)
                 # ONE packed fetch: separate np.asarray calls per result
                 # field each pay a remote-TPU round trip with polling
                 # backoff (~250 ms each over the axon tunnel — measured
@@ -311,11 +316,12 @@ class CompletionServer:
                 failed = packed[:, C + 17] > 0.5
                 conv = packed[:, C + 18] > 0.5
                 meshes = [None] * n
-                if self.mesher is not None:
+                if grids_dev is not None:
                     T_wo = np.linalg.inv(T_ows[:n])
-                    meshes = self.mesher.complete_mesh_batch(
-                        res.latent[:n], list(T_wo)
-                    )
+                    meshes = [
+                        m.transform(T) for m, T in zip(
+                            self.mesher.meshes_from_grids(grids_dev), T_wo)
+                    ]
                 now = time.perf_counter()
                 for i, fut in enumerate(futs):
                     if fut.done():  # e.g. cancelled by the client meanwhile
