@@ -105,3 +105,29 @@ def test_wild_manifest_roundtrip(tmp_path):
     p.write_text(json.dumps([entry]))
     loaded = json.loads(p.read_text())
     assert loaded[0]["valid"] and loaded[0]["iter_count"] == 12
+
+
+def test_tpu_solver_yaml_block_parses():
+    """The opt.tpu extension block of the shipped TPU config routes every
+    solver knob into JointOptConfig (guards the YAML plumbing for the
+    two-resolution schedule)."""
+    import os
+
+    from hortimapping_tpu.config import JointOptConfig, load_config
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    cfg = load_config(os.path.join(root, "wild_pepper_tpu.yaml"))
+    oc = JointOptConfig.from_dict(cfg)
+    assert oc.coarse_to_fine is True
+    assert oc.coarse_frame_stride == 4
+    assert oc.coarse_ray_frac == 0.3
+    assert oc.coarse_sample_frac == 0.35
+    assert oc.coarse_pts_frac == 0.3
+    assert oc.coarse_max_iter == 25
+    assert oc.coarse_fused_tr == 64
+    assert oc.fine_max_iter == 2
+    # everything outside opt.tpu stays byte-identical with the parity config
+    base = load_config(os.path.join(root, "wild_pepper.yaml"))
+    tpu_opt = dict(cfg["opt"])
+    tpu_opt.pop("tpu")
+    assert tpu_opt == base["opt"]
