@@ -360,7 +360,14 @@ def lm_iteration_tr(
         params, spec, cfg, obs, s.latent, s.T_ow, i, cube_radius, lane_active
     )
 
-    accept = cost <= ts.cost            # inf at i=0: first step always accepts
+    # at i == robust_iter the freshly assembled cost includes Huber weights
+    # (w2 <= 1) while the stored accepted cost does not — the comparison is
+    # across two different objectives. Accept the step (the reweighted cost
+    # becomes the new baseline) but skip the lambda/nu adaptation for this
+    # one boundary iteration: a spurious "improvement" from reweighting must
+    # not shrink the damping.
+    crossed = (i == cfg.robust_iter) if cfg.robust_iter > 0 else jnp.asarray(False)
+    accept = (cost <= ts.cost) | crossed  # inf at i=0: first step always accepts
     # jnp.where, NOT an arithmetic blend: a NaN trial state (overflowed
     # assembly after a wild step) must roll back cleanly — 0 * NaN would
     # poison the stored accepted state and the lane could never recover
@@ -379,16 +386,21 @@ def lm_iteration_tr(
         jnp.minimum(ts.lam * ts.nu, cfg.tr_lambda_max),
     )
     nu = jnp.where(accept, 2.0, jnp.minimum(ts.nu * 2.0, 128.0))
+    lam = jnp.where(crossed, ts.lam, lam)
+    nu = jnp.where(crossed, ts.nu, nu)
 
     with jax.named_scope("solve_update"):
         Hd = apply_lm_damping(H_use, cfg, lam)
         delta = jnp.linalg.solve(Hd, b_use)
+    if pose_known:
+        # zero the pose step BEFORE pricing it: pred must value the step
+        # actually taken, or the gain ratio rho is deflated by phantom pose
+        # gain and the adaptive damping schedule adapts on a mispriced step
+        delta = delta.at[:6].set(0.0)
     # predicted reduction of THIS step for next iteration's gain ratio:
     # L(0) - L(delta) = delta^T (b + lambda * D * delta) in our no-1/2,
     # b = -J^T W r convention
     pred = jnp.maximum(jnp.dot(delta, b_use + (Hd - H_use) @ delta), 1e-30)
-    if pose_known:
-        delta = delta.at[:6].set(0.0)
     delta_p = delta[:pose_dim]
     delta_c = delta[pose_dim:]
     delta_T = exp_sim3_ref(delta_p) if cfg.scale_on else exp_se3(delta_p)
@@ -413,7 +425,13 @@ def lm_iteration_tr(
     # objective-driven stop: two CONSECUTIVE accepted steps whose improvement
     # rate flattened (a single flat step can be a plateau the damping schedule
     # still escapes; ts.cost is finite from the first acceptance on)
-    is_flat = accept & ((ts.cost - cost) <= cfg.tr_cost_rtol * ts.cost)
+    # isfinite gate: the i=0 sentinel inf cost must never count as a flat
+    # step (inf - cost <= rtol * inf is True); ~crossed: the robust-boundary
+    # "improvement" is a reweighting artifact, not a flat objective signal
+    is_flat = (
+        accept & jnp.isfinite(ts.cost) & ~crossed
+        & ((ts.cost - cost) <= cfg.tr_cost_rtol * ts.cost)
+    )
     flat = jnp.where(is_flat, ts.flat + 1, jnp.where(accept, 0, ts.flat))
     conv_f = (flat >= 2) & past_warmup
     conv = (conv_g | conv_c | conv_p | conv_f) & accept

@@ -153,6 +153,13 @@ class CompletionServer:
     # ---------------- lifecycle ----------------
 
     def start(self) -> "CompletionServer":
+        if self._stop.is_set():
+            # a stopped server's worker would exit immediately and strand
+            # every submitted Future — fail loudly instead of limping
+            raise RuntimeError(
+                "CompletionServer cannot be restarted after stop(); "
+                "create a new server"
+            )
         if self._thread is not None:
             return self
         self._started_at = time.perf_counter()

@@ -231,3 +231,16 @@ def test_serve_coarse_to_fine_matches_direct():
         assert not r.failed
         np.testing.assert_allclose(r.latent, np.asarray(want.latent[i]), atol=1e-5)
         np.testing.assert_allclose(r.T_ow, np.asarray(want.T_ow[i]), atol=1e-5)
+
+
+def test_serve_restart_after_stop_raises():
+    """A stopped server cannot be restarted (its worker would exit
+    immediately and strand every Future) — start() must fail loudly."""
+    params, spec = config_decoder(ASSET_DIR)
+    srv = CompletionServer(params, spec, CFG, cube_radius=0.1)
+    srv.start()
+    srv.stop()
+    with pytest.raises(RuntimeError, match="restart"):
+        srv.start()
+    with pytest.raises(RuntimeError, match="not running"):
+        srv.submit(_requests(spec, 1)[0])
