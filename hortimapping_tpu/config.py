@@ -131,6 +131,19 @@ class JointOptConfig:
     # ray tile keeps the kernel's matmul shapes efficient within the same
     # VMEM budget.
     coarse_fused_tr: int = 0
+    # latent warm start (optim/warmstart.py): "mean" = the reference's
+    # mean-of-latent-table init (`test_wild_completion.py:46-47`);
+    # "retrieval" scores every trained code against the observed partial
+    # cloud and starts from the best (code, scale) pair. multi_start > 1
+    # additionally solves from the top-K retrieved starts in one widened
+    # batch and keeps the lowest-final-objective result per fruit.
+    init_mode: str = "mean"
+    retrieval_top_k: int = 8
+    retrieval_score_pts: int = 256
+    retrieval_n_scales: int = 5
+    retrieval_scale_min: float = 0.85
+    retrieval_scale_max: float = 1.2
+    multi_start: int = 1
     # outlier gates (applied by drivers after optimization)
     outlier_scale_min: float = 0.5
     outlier_scale_max: float = 1.25
@@ -258,6 +271,13 @@ class JointOptConfig:
             coarse_max_iter=int(tpu.get("coarse_max_iter", d.coarse_max_iter)),
             fine_max_iter=int(tpu.get("fine_max_iter", d.fine_max_iter)),
             coarse_fused_tr=int(tpu.get("coarse_fused_tr", d.coarse_fused_tr)),
+            init_mode=str(tpu.get("init_mode", d.init_mode)),
+            retrieval_top_k=int(tpu.get("retrieval_top_k", d.retrieval_top_k)),
+            retrieval_score_pts=int(tpu.get("retrieval_score_pts", d.retrieval_score_pts)),
+            retrieval_n_scales=int(tpu.get("retrieval_n_scales", d.retrieval_n_scales)),
+            retrieval_scale_min=float(tpu.get("retrieval_scale_min", d.retrieval_scale_min)),
+            retrieval_scale_max=float(tpu.get("retrieval_scale_max", d.retrieval_scale_max)),
+            multi_start=int(tpu.get("multi_start", d.multi_start)),
             outlier_scale_min=float(out.get("scale_min", d.outlier_scale_min)),
             outlier_scale_max=float(out.get("scale_max", d.outlier_scale_max)),
             outlier_rot_max_deg=float(out.get("rot_max_deg", d.outlier_rot_max_deg)),

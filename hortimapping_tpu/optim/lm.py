@@ -651,6 +651,7 @@ def subsample_observations(
     return coarse_obs, coarse_cfg
 
 
+@partial(jax.jit, static_argnames=("spec", "cfg", "cube_radius", "pose_known"))
 def coarse_to_fine_joint_opt(
     params: Params,
     spec: DecoderSpec,
@@ -680,6 +681,11 @@ def coarse_to_fine_joint_opt(
     c2f and keeps the single-phase default). Per-fruit iteration counts
     report the FINE phase only (comparable to the reference's counts in
     quality terms, not billed-work terms).
+
+    Jitted as ONE program: the nested phase calls inline, so both
+    while_loops run back-to-back on device in a single dispatch — on a
+    remote-TPU link the second dispatch round trip used to dominate B=1
+    latency (docs/PERF.md "Single-fruit latency").
     """
     coarse_obs, coarse_cfg = subsample_observations(obs, cfg)
     r_a = shape_pose_joint_opt_batched(
@@ -704,6 +710,51 @@ def coarse_to_fine_joint_opt(
     return shape_pose_joint_opt_batched(
         params, spec, fine_cfg, obs, lat1, T1, cube_radius, pose_known,
     )
+
+
+def pack_result(res: OptResult) -> jnp.ndarray:
+    """[B, C+19] device array: latent | T_ow(16) | iters | failed | converged.
+
+    Packing on device lets a caller retrieve a whole batch result in ONE
+    host transfer instead of five — each separate fetch pays a full round
+    trip + polling backoff on remote-TPU links (~250 ms each measured over
+    the axon tunnel)."""
+    B = res.latent.shape[0]
+    f32 = jnp.float32
+    return jnp.concatenate(
+        [
+            res.latent.astype(f32),
+            res.T_ow.reshape(B, 16).astype(f32),
+            res.iter_count.astype(f32)[:, None],
+            res.failed.astype(f32)[:, None],
+            res.converged.astype(f32)[:, None],
+        ],
+        axis=1,
+    )
+
+
+@partial(jax.jit, static_argnames=("spec", "cfg", "cube_radius", "pose_known"))
+def joint_opt_packed(
+    params: Params,
+    spec: DecoderSpec,
+    cfg: JointOptConfig,
+    obs: FruitObservations,   # leading fruit axis
+    latent0: jnp.ndarray,
+    T_ow0: jnp.ndarray,
+    cube_radius: float,
+    pose_known: bool = False,
+) -> Tuple[OptResult, jnp.ndarray]:
+    """One-dispatch batched solve returning (result, packed result).
+
+    The configured solver (two-resolution or single-phase; both while_loops
+    of c2f inline) AND the result packing compile into a single XLA program:
+    a robot-loop (B=1) solve costs exactly one dispatch round trip plus one
+    packed-array fetch over the device link. The unpacked `OptResult` device
+    handles come along for free — e.g. to dispatch the mesher's grid decode
+    before the packed fetch (serve.py overlaps them)."""
+    solver = coarse_to_fine_joint_opt if cfg.coarse_to_fine else shape_pose_joint_opt_batched
+    res = solver(params, spec, cfg, obs, latent0, T_ow0, cube_radius, pose_known)
+    return res, pack_result(res)
 
 
 def _round_up_pow2(n: int, lo: int = 1) -> int:

@@ -1,0 +1,198 @@
+"""Latent warm starts: retrieval init + multi-start selection.
+
+The reference initializes every fruit's latent from the MEAN of the trained
+latent-code table (`/root/reference/test_wild_completion.py:46-47`,
+`run_shape_completion_challenge.py:74-77`) — the blandest shape the category
+knows. On partially observed fruits the LM solve then has to carry the code
+all the way from the category mean to the observed shape within its
+iteration budget, and the unobserved side of the fruit is completed from
+whatever shape the trajectory reaches, not from the best prior shape.
+
+TPU-native alternative (no reference equivalent): the trained latent table
+(919 codes for the reference pepper category, `LatentCodes/latest.pth`) is a
+dense sample of plausible fruit shapes, and the decoder is cheap — so score
+EVERY code against the observed partial cloud in one batched forward pass
+and start from the best match. Scoring all 919 codes x 256 points is a
+single [B*N*P, C+3] decoder batch — ideal MXU shape, a few milliseconds on
+one chip; the reference could never afford this per fruit in torch-eager.
+
+Scoring covers the FULL (code x scale) grid — mean |clamped sdf| over a
+point subsample at each of S candidate pose scales — because prefiltering
+codes at one scale drops the right code observed at the wrong scale. The
+best (code, scale) pair seeds the solve; scale enters as a scale-only Sim(3)
+factor composed onto the pose init.
+
+`multi_start` solves the joint optimization from the top-K retrieved starts
+in one widened batch and keeps, per fruit, the result with the lowest final
+objective value (the LM objective itself, so selection matches what the
+solver minimizes).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hortimapping_tpu.config import JointOptConfig
+from hortimapping_tpu.models.decoder import DecoderSpec, Params, decoder_apply
+from hortimapping_tpu.optim.state import FruitObservations, OptResult
+
+
+def _score_codes(
+    params: Params,
+    spec: DecoderSpec,
+    codes: jnp.ndarray,    # [N, C]
+    points: jnp.ndarray,   # [P, 3] object-frame points (scaled candidates)
+    valid: jnp.ndarray,    # [P] bool
+) -> jnp.ndarray:
+    """Mean |clamped sdf| of each code over the observed points. [N]."""
+    N, C = codes.shape
+    P = points.shape[0]
+    inp = jnp.concatenate(
+        [
+            jnp.broadcast_to(codes[:, None, :], (N, P, C)),
+            jnp.broadcast_to(points[None, :, :], (N, P, 3)),
+        ],
+        axis=-1,
+    )
+    sdf = decoder_apply(params, spec, inp.reshape(N * P, C + 3)).reshape(N, P)
+    # clamp: far-off codes saturate at the clamping distance instead of
+    # dominating the mean through tanh tails
+    err = jnp.minimum(jnp.abs(sdf), spec.clamping_distance)
+    count = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(err * valid[None, :], axis=1) / count
+
+
+@partial(jax.jit, static_argnames=("spec", "top_k", "n_score_pts", "n_scales",
+                                   "scale_min", "scale_max"))
+def retrieval_init_batched(
+    params: Params,
+    spec: DecoderSpec,
+    latent_table: jnp.ndarray,   # [N, C] trained codes
+    points_w: jnp.ndarray,       # [B, P, 3] observed cloud, world frame
+    point_valid: jnp.ndarray,    # [B, P] bool
+    top_k: int = 8,
+    n_score_pts: int = 256,
+    n_scales: int = 5,
+    scale_min: float = 0.85,
+    scale_max: float = 1.2,
+    T_init: Optional[jnp.ndarray] = None,   # [B, 4, 4] pose init (None = identity)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Retrieve the best (code, scale) start per fruit.
+
+    With `T_init=None` the observed points are assumed to be approximately in
+    the decoder's object frame already (identity pose init — the challenge
+    setting, `run_shape_completion_challenge.py:207-210`). Posed pipelines
+    pass their per-fruit pose init `T_init`; points are transformed into the
+    object frame first and the retrieved scale COMPOSES onto it. Returns:
+
+      latent0   [B, C]     best code per fruit
+      T_ow0     [B, 4, 4]  scale-only Sim(3) refinement @ T_init
+      top_codes [B, K, C]  the top-K codes (multi-start candidates)
+      top_T     [B, K, 4, 4] their per-candidate scale inits (composed)
+    """
+    N, C = latent_table.shape
+    f32 = jnp.float32
+    scales = jnp.linspace(scale_min, scale_max, n_scales, dtype=f32)
+    if T_init is None:
+        T_init = jnp.broadcast_to(jnp.eye(4, dtype=f32),
+                                  points_w.shape[:1] + (4, 4))
+
+    def per_fruit(pts_w, pv, T_i):
+        pts = pts_w @ T_i[:3, :3].T + T_i[:3, 3]
+        sub = pts[:n_score_pts]
+        sub_v = pv[:n_score_pts]
+        # score the FULL (code x scale) grid — prefiltering codes at one
+        # scale would drop the right code observed at the wrong scale (the
+        # candidate set must not assume the answer). T_ow scale sigma maps
+        # world->object as x_o = sigma * x_w, so a fruit larger than
+        # canonical scores best at sigma < 1.
+        def at_scale(sig):
+            return _score_codes(params, spec, latent_table, sig * sub, sub_v)
+
+        s = jax.vmap(at_scale)(scales)                    # [S, N]
+        per_code = jnp.min(s, axis=0)                     # [N] best over scales
+        _, top_idx = jax.lax.top_k(-per_code, top_k)      # K best codes
+        s_top = s[:, top_idx]                             # [S, K]
+        flat = jnp.argmin(s_top)
+        si, ki = flat // top_k, flat % top_k
+        cand = latent_table[top_idx]                      # [K, C]
+        best_scale_per_k = scales[jnp.argmin(s_top, axis=0)]  # [K]
+
+        def scale_T(sig):
+            return jnp.diag(jnp.array([sig, sig, sig, 1.0], f32)) @ T_i
+
+        return (
+            cand[ki],
+            scale_T(scales[si]),
+            cand,
+            jax.vmap(scale_T)(best_scale_per_k),
+        )
+
+    return jax.vmap(per_fruit)(points_w, point_valid, T_init)
+
+
+@partial(jax.jit, static_argnames=("spec", "cfg", "cube_radius"))
+def objective_value_batched(
+    params: Params,
+    spec: DecoderSpec,
+    cfg: JointOptConfig,
+    obs: FruitObservations,   # leading fruit axis
+    latent: jnp.ndarray,      # [B, C]
+    T_ow: jnp.ndarray,        # [B, 4, 4]
+    cube_radius: float,
+) -> jnp.ndarray:
+    """The LM objective at (latent, T_ow) per fruit, with the Huber robust
+    weighting active (post-ramp-in) — the selection metric for multi-start.
+    Failed lanes (no valid rays) score +inf."""
+    from hortimapping_tpu.optim.lm import _assemble_normal_equations
+
+    def one(o, l, T):
+        _, _, failed, cost = _assemble_normal_equations(
+            params, spec, cfg, o, l, T, jnp.int32(2 ** 20), cube_radius
+        )
+        return jnp.where(failed, jnp.inf, cost)
+
+    return jax.vmap(one)(obs, latent, T_ow)
+
+
+def multi_start_joint_opt(
+    params: Params,
+    spec: DecoderSpec,
+    cfg: JointOptConfig,
+    obs: FruitObservations,     # leading fruit axis [B, ...]
+    starts_latent: jnp.ndarray,  # [B, K, C]
+    starts_T: jnp.ndarray,       # [B, K, 4, 4]
+    cube_radius: float,
+    pose_known: bool = False,
+) -> OptResult:
+    """Solve from K starts per fruit in one widened [B*K] batch; keep the
+    lowest-final-objective result per fruit.
+
+    The extra work is K-1 additional lanes in an already-batched program —
+    on TPU the marginal cost is far below K x (per-lane convergence gating
+    freezes easy lanes early). Selection by the full LM objective at each
+    lane's final state breaks ties exactly the way the solver itself would.
+    """
+    from hortimapping_tpu.optim.lm import solve_in_chunks
+
+    B, K, C = starts_latent.shape
+    obs_rep = jax.tree_util.tree_map(
+        lambda a: jnp.repeat(a, K, axis=0), obs
+    )  # [B*K, ...] fruit-major: lanes b*K..b*K+K-1 share fruit b's buffers
+    res = solve_in_chunks(
+        params, spec, cfg, obs_rep,
+        starts_latent.reshape(B * K, C), starts_T.reshape(B * K, 4, 4),
+        cube_radius, pose_known,
+    )
+    costs = objective_value_batched(
+        params, spec, cfg, obs_rep, res.latent, res.T_ow, cube_radius
+    )
+    costs = jnp.where(res.failed, jnp.inf, costs).reshape(B, K)
+    best = jnp.argmin(costs, axis=1)                      # [B]
+    pick = best + jnp.arange(B) * K
+
+    return jax.tree_util.tree_map(lambda a: a[pick], res)

@@ -127,10 +127,36 @@ def run_challenge(cfg: Dict, log=print) -> Dict:
         failed = np.zeros(B, bool)
     else:
         obs_b = stack_observations([p[1] for p in prepared])
-        res = solve_in_chunks(
-            params, spec, opt_cfg, obs_b, lat0, T0, object_radius_max_m,
-            pose_known=True,
-        )
+        top_codes = top_T = None
+        if opt_cfg.init_mode == "retrieval":
+            # score the trained latent table against each observed cloud and
+            # start from the best (code, scale) instead of the category mean
+            # (optim/warmstart.py; reference always uses the mean,
+            # `run_shape_completion_challenge.py:74-77`)
+            from hortimapping_tpu.optim.warmstart import retrieval_init_batched
+
+            lat0, T0, top_codes, top_T = retrieval_init_batched(
+                params, spec, jnp.asarray(latents_train),
+                obs_b.points_w, obs_b.point_valid,
+                top_k=opt_cfg.retrieval_top_k,
+                n_score_pts=opt_cfg.retrieval_score_pts,
+                n_scales=opt_cfg.retrieval_n_scales,
+                scale_min=opt_cfg.retrieval_scale_min,
+                scale_max=opt_cfg.retrieval_scale_max,
+            )
+        if top_codes is not None and opt_cfg.multi_start > 1:
+            from hortimapping_tpu.optim.warmstart import multi_start_joint_opt
+
+            K = min(opt_cfg.multi_start, opt_cfg.retrieval_top_k)
+            res = multi_start_joint_opt(
+                params, spec, opt_cfg, obs_b, top_codes[:, :K], top_T[:, :K],
+                object_radius_max_m, pose_known=True,
+            )
+        else:
+            res = solve_in_chunks(
+                params, spec, opt_cfg, obs_b, lat0, T0, object_radius_max_m,
+                pose_known=True,
+            )
         latents = np.asarray(res.latent)
         T_ows = np.asarray(res.T_ow)
         iters = np.asarray(res.iter_count)
@@ -162,6 +188,9 @@ def run_challenge(cfg: Dict, log=print) -> Dict:
         summary.update({
             "CD[mm]": cd * 1e3, "F-score[%]": f1, "Precision[%]": pr,
             "Recall[%]": re, "threshold[mm]": thre,
+            # per-fruit CDs [mm] in dataset order: paired comparisons
+            # against another solver/run need per-instance values, not means
+            "cd_per_fruit_mm": [float(c) * 1e3 for c in cd_metric.cd_array],
         })
         log(f"Results on the {cfg['split']} set")
         log(f"CD        [mm]: {cd * 1e3}")

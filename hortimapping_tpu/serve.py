@@ -65,39 +65,6 @@ class CompletionResult:
     batch_size: int = 0              # real lanes in the batch that served it
 
 
-_PACK_JIT = None  # module-level cache: a per-call @jax.jit would retrace
-# and recompile the pack graph on EVERY served batch
-
-
-def _pack_result(res) -> "np.ndarray":
-    """[B, C+19] device array: latent | T_ow(16) | iters | failed | converged.
-
-    Packing on device lets the worker retrieve a whole batch result in ONE
-    host transfer instead of five (each costs a full round trip + polling
-    backoff on remote-TPU links)."""
-    global _PACK_JIT
-    if _PACK_JIT is None:
-        import jax
-        import jax.numpy as jnp
-
-        def pack(r):
-            B = r.latent.shape[0]
-            f32 = jnp.float32
-            return jnp.concatenate(
-                [
-                    r.latent.astype(f32),
-                    r.T_ow.reshape(B, 16).astype(f32),
-                    r.iter_count.astype(f32)[:, None],
-                    r.failed.astype(f32)[:, None],
-                    r.converged.astype(f32)[:, None],
-                ],
-                axis=1,
-            )
-
-        _PACK_JIT = jax.jit(pack)
-    return _PACK_JIT(res)
-
-
 def _shape_key(req: CompletionRequest) -> Tuple:
     import jax
 
@@ -277,14 +244,8 @@ class CompletionServer:
         import jax.numpy as jnp
 
         from hortimapping_tpu.data.rays import stack_observations
-        from hortimapping_tpu.optim.lm import (
-            coarse_to_fine_joint_opt,
-            shape_pose_joint_opt_batched,
-        )
+        from hortimapping_tpu.optim.lm import joint_opt_packed
         from hortimapping_tpu.parallel.sharding import pad_to_multiple
-
-        solver = (coarse_to_fine_joint_opt if self.cfg.coarse_to_fine
-                  else shape_pose_joint_opt_batched)
 
         while not self._stop.is_set() or not self._q.empty() or self._pending:
             batch = self._drain()
@@ -302,7 +263,9 @@ class CompletionServer:
                 n = len(reqs)
                 if n < self.max_batch:
                     obs, lat0, T0, _ = pad_to_multiple(obs, lat0, T0, self.max_batch)
-                res = solver(
+                # solve + on-device result packing in ONE dispatched program
+                # (optim/lm.joint_opt_packed — both c2f phases inline too)
+                res, packed_dev = joint_opt_packed(
                     self.params, self.spec, self.cfg, obs, lat0, T0,
                     self.cube_radius, reqs[0].pose_known,
                 )
@@ -316,7 +279,7 @@ class CompletionServer:
                 # backoff (~250 ms each over the axon tunnel — measured
                 # ~1.1 s/batch of pure fetch overhead vs ~0.38 s of solve)
                 C = res.latent.shape[1]
-                packed = np.asarray(_pack_result(res))
+                packed = np.asarray(packed_dev)
                 latents = packed[:, :C]
                 T_ows = packed[:, C:C + 16].reshape(-1, 4, 4)
                 iters = packed[:, C + 16].astype(np.int32)

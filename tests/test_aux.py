@@ -131,3 +131,24 @@ def test_tpu_solver_yaml_block_parses():
     tpu_opt = dict(cfg["opt"])
     tpu_opt.pop("tpu")
     assert tpu_opt == base["opt"]
+
+
+def test_tpu_challenge_yaml_block_parses():
+    """The shipped TPU challenge config's opt.tpu block (retrieval init +
+    trust-region) routes into JointOptConfig, and everything outside the
+    block stays byte-identical with the reference-schema config."""
+    import os
+
+    from hortimapping_tpu.config import JointOptConfig, load_config
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    cfg = load_config(os.path.join(root, "shape_completion_challenge_pepper_tpu.yaml"))
+    oc = JointOptConfig.from_dict(cfg)
+    assert oc.init_mode == "retrieval"
+    assert oc.retrieval_top_k == 8
+    assert oc.trust_region is True
+    assert oc.multi_start == 1
+    base = load_config(os.path.join(root, "shape_completion_challenge_pepper.yaml"))
+    tpu_opt = dict(cfg["opt"])
+    tpu_opt.pop("tpu")
+    assert tpu_opt == base["opt"]

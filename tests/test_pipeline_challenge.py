@@ -91,3 +91,27 @@ def test_run_challenge_deepsdf_baseline(challenge_dir):
     assert len(os.listdir(out)) == 2
     # shape-only fit on identity pose still lands in the right ballpark
     assert summary["CD[mm]"] < 25.0
+
+
+def test_run_challenge_retrieval_init(challenge_dir):
+    """`opt.tpu.init_mode: retrieval` routes through the warm-start scorer
+    (per-fruit code + scale from the latent table) and completes end to end;
+    multi_start widens the batch and still returns one result per fruit."""
+    from hortimapping_tpu.pipeline.challenge import run_challenge
+
+    cfg = _cfg(challenge_dir)
+    cfg["run_name"] = "test_retrieval"
+    cfg["opt"]["tpu"] = {"init_mode": "retrieval", "retrieval_top_k": 3,
+                         "retrieval_score_pts": 64}
+    summary = run_challenge(cfg, log=lambda *a: None)
+    assert summary["fruits"] == 2
+    assert summary["failed"] == 0
+    assert summary["CD[mm]"] < 12.0
+    assert len(summary["cd_per_fruit_mm"]) == 2
+
+    cfg["run_name"] = "test_retrieval_ms"
+    cfg["opt"]["tpu"]["multi_start"] = 2
+    summary_ms = run_challenge(cfg, log=lambda *a: None)
+    assert summary_ms["fruits"] == 2
+    assert summary_ms["failed"] == 0
+    assert summary_ms["CD[mm]"] < 12.0

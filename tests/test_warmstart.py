@@ -1,0 +1,173 @@
+"""Retrieval init + multi-start selection (hortimapping_tpu/optim/warmstart.py)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hortimapping_tpu.config import JointOptConfig
+from hortimapping_tpu.models.workspace import config_decoder
+from hortimapping_tpu.optim.lm import shape_pose_joint_opt_batched
+from hortimapping_tpu.optim.warmstart import (
+    multi_start_joint_opt,
+    objective_value_batched,
+    retrieval_init_batched,
+)
+from hortimapping_tpu.tools.synthetic import SyntheticCategory, make_scene
+
+ASSET_DIR = os.path.join(os.path.dirname(__file__), "..", "assets", "synthetic_small_8")
+PEPPER_DIR = os.path.join(os.path.dirname(__file__), "..", "assets", "synthetic_pepper_32")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(ASSET_DIR), reason="synthetic assets not built"
+)
+
+CFG = JointOptConfig(
+    n_fg_pix=32, n_bg_pix=32, n_frame=2, n_sample_on_ray=16,
+    recon_n_pts=64, max_iter=3, lm_lambda_0=0.5,
+)
+
+
+def _table_and_fruits(spec, n_table=24, n_fruits=3, seed=3):
+    """Latent table containing each fruit's GT code + observations."""
+    rng = np.random.default_rng(seed)
+    table = (rng.normal(size=(n_table, spec.code_length)) * 0.5).astype(np.float32)
+    cat = SyntheticCategory(spec=spec)
+    obs_list, gt_rows = [], []
+    for b in range(n_fruits):
+        row = 2 + 7 * b
+        obs, _ = make_scene(
+            cat, table[row], np.eye(4, dtype=np.float32),
+            n_frames=CFG.n_frame, n_fg=CFG.n_fg_pix, n_bg=CFG.n_bg_pix,
+            n_points=CFG.recon_n_pts, seed=seed + b,
+        )
+        obs_list.append(obs)
+        gt_rows.append(row)
+    obs = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *obs_list)
+    return jnp.asarray(table), obs, gt_rows
+
+
+def test_retrieval_picks_generating_code_flagship():
+    """On the flagship decoder (whose SDF fidelity is well below the shape
+    spacing of its latent table), retrieval must rank each fruit's generating
+    table code FIRST. The 8-wide test decoder cannot discriminate (its own
+    ~5 mm SDF error exceeds the radii spread), so this runs on pepper_32."""
+    params, spec = config_decoder(PEPPER_DIR)
+    from hortimapping_tpu.models.workspace import load_latent_vectors
+
+    table = load_latent_vectors(PEPPER_DIR)
+    cat = SyntheticCategory(spec=spec, base_radius=0.06)
+    rows = [17, 103, 240]
+    obs_list = []
+    for b, row in enumerate(rows):
+        obs, _ = make_scene(
+            cat, np.asarray(table[row]), np.eye(4, dtype=np.float32),
+            n_frames=2, n_fg=64, n_bg=32, n_points=128, seed=3 + b,
+        )
+        obs_list.append(obs)
+    obs = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *obs_list)
+
+    lat0, T0, top_codes, top_T = retrieval_init_batched(
+        params, spec, table, obs.points_w, obs.point_valid,
+        top_k=4, n_score_pts=128,
+    )
+    assert lat0.shape == (3, spec.code_length)
+    assert T0.shape == (3, 4, 4)
+    assert top_codes.shape == (3, 4, spec.code_length)
+    # (code, scale) pairs are degenerate — a code with radii c*r_gt at scale
+    # sigma*c IS the GT surface — so assert the induced world-frame surface
+    # radii(lat0)/sigma, not code identity
+    from hortimapping_tpu.tools.synthetic import ellipsoid_radii
+
+    proj = jnp.asarray(cat.projection())
+    for b, row in enumerate(rows):
+        r_gt = np.asarray(ellipsoid_radii(table[row], proj, cat.base_radius))
+        sigma = float(T0[b, 0, 0])
+        r_got = np.asarray(ellipsoid_radii(lat0[b], proj, cat.base_radius)) / sigma
+        err = np.abs(r_got - r_gt).max()
+        assert err < 0.003, f"fruit {b}: surface radii err {err*1e3:.2f} mm"
+
+
+def test_retrieval_scale_candidates():
+    """A fruit 1.2x canonical size must score best with its own code at
+    sigma ~= 1/1.2 (flagship decoder: scale discrimination needs SDF
+    fidelity well under the scale step)."""
+    params, spec = config_decoder(PEPPER_DIR)
+    from hortimapping_tpu.models.workspace import load_latent_vectors
+
+    table = load_latent_vectors(PEPPER_DIR)
+    cat = SyntheticCategory(spec=spec, base_radius=0.06)
+    T_wo = np.diag([1.2, 1.2, 1.2, 1.0]).astype(np.float32)
+    obs, _ = make_scene(cat, np.asarray(table[31]), T_wo, n_frames=2,
+                        n_fg=64, n_bg=32, n_points=128, seed=7)
+    obs_b = jax.tree_util.tree_map(lambda a: a[None], obs)
+
+    lat0, T0, _, _ = retrieval_init_batched(
+        params, spec, table, obs_b.points_w, obs_b.point_valid,
+        top_k=4, n_score_pts=128, n_scales=11, scale_min=0.7, scale_max=1.3,
+    )
+    # the world-frame surface the start encodes — radii(code)/sigma — must
+    # match the 1.2x-scaled GT surface (code<->scale degeneracy as above)
+    from hortimapping_tpu.tools.synthetic import ellipsoid_radii
+
+    proj = jnp.asarray(cat.projection())
+    sigma = float(T0[0, 0, 0])
+    r_gt = 1.2 * np.asarray(ellipsoid_radii(table[31], proj, cat.base_radius))
+    r_got = np.asarray(ellipsoid_radii(lat0[0], proj, cat.base_radius)) / sigma
+    err = np.abs(r_got - r_gt).max()
+    assert sigma < 0.95, f"scale candidate not used (sigma {sigma:.3f})"
+    assert err < 0.003, f"surface radii err {err*1e3:.2f} mm (sigma {sigma:.3f})"
+
+
+def test_multi_start_picks_lowest_objective():
+    """multi_start must return, per fruit, exactly the per-start solve whose
+    final LM objective is lowest."""
+    params, spec = config_decoder(ASSET_DIR)
+    table, obs, _ = _table_and_fruits(spec, n_fruits=2)
+    _, _, top_codes, top_T = retrieval_init_batched(
+        params, spec, table, obs.points_w, obs.point_valid,
+        top_k=3, n_score_pts=64,
+    )
+
+    got = multi_start_joint_opt(
+        params, spec, CFG, obs, top_codes, top_T, cube_radius=0.1
+    )
+
+    B, K = 2, 3
+    want_per_start = []
+    for k in range(K):
+        res_k = shape_pose_joint_opt_batched(
+            params, spec, CFG, obs, top_codes[:, k], top_T[:, k], 0.1
+        )
+        cost_k = objective_value_batched(
+            params, spec, CFG, obs, res_k.latent, res_k.T_ow, 0.1
+        )
+        want_per_start.append((res_k, np.asarray(cost_k)))
+    for b in range(B):
+        costs = np.array([want_per_start[k][1][b] for k in range(K)])
+        kbest = int(np.argmin(costs))
+        np.testing.assert_allclose(
+            np.asarray(got.latent[b]),
+            np.asarray(want_per_start[kbest][0].latent[b]), atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.T_ow[b]),
+            np.asarray(want_per_start[kbest][0].T_ow[b]), atol=1e-5,
+        )
+
+
+def test_objective_finite_and_ranks_gt_lowest():
+    params, spec = config_decoder(ASSET_DIR)
+    table, obs, gt_rows = _table_and_fruits(spec, n_fruits=2)
+    B = 2
+    eye = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (B, 1, 1))
+    gt_lat = jnp.stack([table[r] for r in gt_rows])
+    rand_lat = gt_lat + 1.0
+    c_gt = np.asarray(objective_value_batched(
+        params, spec, CFG, obs, gt_lat, eye, 0.1))
+    c_rand = np.asarray(objective_value_batched(
+        params, spec, CFG, obs, rand_lat, eye, 0.1))
+    assert np.all(np.isfinite(c_gt))
+    assert np.all(c_gt < c_rand)

@@ -1,0 +1,107 @@
+"""Quality/perf probe for the ECCV challenge config (solver + init variants).
+
+The challenge workload is the one externally scored benchmark
+(`/root/reference/run_shape_completion_challenge.py`); this probe measures
+CD / F1 / iterations for init and solver variants of `pipeline/challenge`
+on a synthetic challenge dataset, so schedule/init choices can be tuned on
+one seed and validated held-out on another (SEED env var; default 11 =
+tuning set, any other value = held-out fruits).
+
+Usage:
+    python tools/challenge_probe.py [variant ...]
+    SEED=900 N_FRUITS=12 python tools/challenge_probe.py mean retrieval
+
+Variants:
+    mean           reference-parity init (mean of the latent table)
+    retrieval      retrieval (code, scale) init
+    retrieval_msK  retrieval + K-start solve, best final objective kept
+    mean_tr / retrieval_tr   + trust-region damping
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+N_FRUITS = int(os.environ.get("N_FRUITS", "12"))
+SEED = int(os.environ.get("SEED", "11"))
+N_FRAMES = int(os.environ.get("N_FRAMES", "5"))
+
+
+def variant_tpu_block(name: str) -> tuple:
+    """-> (opt.tpu dict, max_iter override or None).
+
+    Variant grammar: base[_tr][_itN]; base = mean | retrieval |
+    retrieval_msK."""
+    tpu: dict = {}
+    max_iter = None
+    base = name
+    if "_it" in base:
+        base, it = base.rsplit("_it", 1)
+        max_iter = int(it)
+    if base.endswith("_tr"):
+        tpu["trust_region"] = True
+        base = base[:-3]
+    if base == "mean":
+        pass
+    elif base == "retrieval":
+        tpu["init_mode"] = "retrieval"
+    elif base.startswith("retrieval_ms"):
+        tpu["init_mode"] = "retrieval"
+        tpu["multi_start"] = int(base[len("retrieval_ms"):])
+    else:
+        raise SystemExit(f"unknown variant {name}")
+    return tpu, max_iter
+
+
+def main(variants) -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/horti_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from hortimapping_tpu.config import load_config
+    from hortimapping_tpu.pipeline.challenge import run_challenge
+    from hortimapping_tpu.tools.make_demo_data import make_challenge_dataset
+
+    deepsdf_dir = os.path.join(ROOT, "assets", "synthetic_pepper_32")
+    data_dir = os.path.join(
+        ROOT, "data", f"probe_challenge_s{SEED}_n{N_FRUITS}")
+    if not os.path.isdir(os.path.join(data_dir, "val")):
+        print(f"generating {N_FRUITS}-fruit challenge dataset (seed {SEED})")
+        make_challenge_dataset(data_dir, deepsdf_dir, split="val",
+                               n_fruits=N_FRUITS, n_frames=N_FRAMES, seed=SEED)
+
+    for name in variants:
+        cfg = load_config(os.path.join(
+            ROOT, "configs", "shape_completion_challenge_pepper.yaml"))
+        cfg["data_dir"] = data_dir
+        cfg["split"] = "val"
+        cfg["deepsdf_dir"] = deepsdf_dir
+        cfg["run_name"] = f"probe_{name}"
+        tpu, max_iter = variant_tpu_block(name)
+        cfg.setdefault("opt", {})["tpu"] = tpu
+        if max_iter is not None:
+            cfg["opt"].setdefault("converge", {})["max_iter"] = max_iter
+        t0 = time.perf_counter()
+        summary = run_challenge(cfg, log=lambda *a: None)
+        dt = time.perf_counter() - t0
+        print(
+            f"{name:16s} CD {summary['CD[mm]']:.4f} mm  "
+            f"F1 {summary['F-score[%]']:.2f}%  "
+            f"iters {summary['iteration']:.1f}  "
+            f"solve {summary['timing_s']*1e3:.1f} ms/fruit  "
+            f"wall {dt:.1f} s",
+            flush=True,
+        )
+        shutil.rmtree(os.path.join(data_dir, "results"), ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or ["mean", "retrieval"])

@@ -107,13 +107,26 @@ def main(variants):
         raise SystemExit(f"unknown variant {name}")
 
     for name in variants:
-        c, fn = solver_for(name)
-        r = fn(params, spec, c, obs, lat0, T0, cube_radius)
+        lat_v, T_v = lat0, T0
+        if name.startswith("retr+"):
+            # retrieval warm start from the asset's latent table, scored in
+            # the pose-init frame (optim/warmstart.py), then the base solver
+            from hortimapping_tpu.models.workspace import load_latent_vectors
+            from hortimapping_tpu.optim.warmstart import retrieval_init_batched
+
+            table = load_latent_vectors(os.path.join(root, "assets", asset))
+            lat_v, T_v, _, _ = retrieval_init_batched(
+                params, spec, table, obs.points_w, obs.point_valid, T_init=T0)
+            name_base = name[len("retr+"):]
+        else:
+            name_base = name
+        c, fn = solver_for(name_base)
+        r = fn(params, spec, c, obs, lat_v, T_v, cube_radius)
         np.asarray(r.T_ow)  # warmup sync
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            r = fn(params, spec, c, obs, lat0, T0, cube_radius)
+            r = fn(params, spec, c, obs, lat_v, T_v, cube_radius)
             np.asarray(r.T_ow)
             times.append(time.perf_counter() - t0)
         dt = sorted(times)[1]

@@ -36,10 +36,19 @@ sys.path.insert(0, ROOT)
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-fruits", type=int, default=6)
-    ap.add_argument("--data-dir", default=os.path.join(ROOT, "data", "h2h_challenge"))
+    ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--data-dir", default=None)
     ap.add_argument("--config", default=os.path.join(
         ROOT, "configs", "shape_completion_challenge_pepper.yaml"))
+    ap.add_argument("--variant", default="mean",
+                    help="ours-side solver/init variant "
+                         "(challenge_probe grammar, e.g. retrieval_tr)")
     args = ap.parse_args()
+    if args.data_dir is None:
+        args.data_dir = os.path.join(
+            ROOT, "data", f"h2h_challenge_s{args.seed}_n{args.n_fruits}"
+        ) if (args.seed != 11 or args.n_fruits != 6) else os.path.join(
+            ROOT, "data", "h2h_challenge")
 
     import torch
 
@@ -63,17 +72,28 @@ def main() -> None:
     if not os.path.isdir(os.path.join(args.data_dir, "val")):
         print(f"generating {args.n_fruits}-fruit challenge dataset in {args.data_dir}")
         make_challenge_dataset(args.data_dir, deepsdf_dir, split="val",
-                               n_fruits=args.n_fruits, n_frames=5)
+                               n_fruits=args.n_fruits, n_frames=5,
+                               seed=args.seed)
 
     cfg = load_config(args.config)
     cfg["data_dir"] = args.data_dir
     cfg["split"] = "val"
     cfg["deepsdf_dir"] = deepsdf_dir
     cfg["run_name"] = "h2h_ours"
+    if args.variant != "mean":
+        from challenge_probe import variant_tpu_block
+
+        tpu, max_iter = variant_tpu_block(args.variant)
+        cfg.setdefault("opt", {})["tpu"] = tpu
+        if max_iter is not None:
+            cfg["opt"].setdefault("converge", {})["max_iter"] = max_iter
     opt_cfg = JointOptConfig.from_dict(cfg)
+    # the REFERENCE side always runs the reference configuration (mean init,
+    # fixed-lambda LM, the YAML's max_iter) — args.variant is ours-only
+    ref_opt_cfg = JointOptConfig.from_dict(load_config(args.config))
 
     # ---------------- ours ----------------
-    print("== ours (pipeline/challenge) ==")
+    print(f"== ours (pipeline/challenge, variant {args.variant}) ==")
     summary_ours = run_challenge(cfg)
 
     # ---------------- reference ----------------
@@ -82,7 +102,7 @@ def main() -> None:
     init_latent = np.asarray(jnp.mean(load_latent_vectors(deepsdf_dir), axis=0))
     dec = rs.torch_decoder_from_params(params, spec)
     _, _, ref_optimizer = rs.import_reference()
-    opt = ref_optimizer.Optimizer(rs.reference_cfg(opt_cfg), dec, mesher=None, vis=None)
+    opt = ref_optimizer.Optimizer(rs.reference_cfg(ref_opt_cfg), dec, mesher=None, vis=None)
 
     radius = float(cfg["vis"]["object_radius_max_m"])
     mc_res_mm = float(cfg["vis"]["mc_res_mm"])
@@ -163,8 +183,24 @@ def main() -> None:
         print(f"{key:<14}{ours:>12.4f}{refv:>12.4f}{delta:>+9.2f}%")
     print(f"{'time/fruit[s]':<14}{summary_ours.get('timing_s', float('nan')):>12.4f}"
           f"{t_ref_total/max(n,1):>12.4f}")
-    for fid, c, it in per_fruit:
-        print(f"  {fid}: reference CD {c*1e3:.4f} mm, iters {it}")
+
+    # paired per-fruit comparison: the per-fruit CD spread dwarfs the mean
+    # delta, so only the PAIRED differences say whether a win is real
+    ours_cds = summary_ours.get("cd_per_fruit_mm")
+    if ours_cds is not None and len(ours_cds) == len(per_fruit):
+        deltas = []
+        print(f"\n{'fruit':<12}{'ours CD[mm]':>12}{'ref CD[mm]':>12}{'delta':>10}{'ref iters':>10}")
+        for (fid, c_ref, it), c_ours in zip(per_fruit, ours_cds):
+            deltas.append(c_ours - c_ref * 1e3)
+            print(f"{fid:<12}{c_ours:>12.4f}{c_ref*1e3:>12.4f}"
+                  f"{c_ours - c_ref*1e3:>+10.4f}{it:>10d}")  # both columns mm
+        deltas = np.asarray(deltas)
+        sem = deltas.std(ddof=1) / np.sqrt(len(deltas)) if len(deltas) > 1 else float("nan")
+        print(f"paired mean delta {deltas.mean():+.4f} mm  sem {sem:.4f}  "
+              f"(delta < 0 on {int((deltas < 0).sum())}/{len(deltas)} fruits)")
+    else:
+        for fid, c, it in per_fruit:
+            print(f"  {fid}: reference CD {c*1e3:.4f} mm, iters {it}")
 
 
 if __name__ == "__main__":
