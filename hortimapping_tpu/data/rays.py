@@ -125,8 +125,6 @@ def render_data_to_observations(
     `points_w` are the measured surface points (world frame), padded to
     `n_points`.
     """
-    import jax.numpy as jnp
-
     F, R = n_frame, n_fg_pix + n_bg_pix
     count = render_data["count"]
     if frame_indices is None:
@@ -157,14 +155,19 @@ def render_data_to_observations(
     pts[:np_actual] = points_w[:np_actual]
     point_valid = np.arange(n_points) < np_actual
 
+    # HOST numpy on purpose: observation buffers are produced host-side and
+    # consumed by ONE jitted solve call (which uploads them once, batched).
+    # Device-resident request buffers force the serving batch assembler to
+    # DOWNLOAD every field over the device link before stacking — measured
+    # as a 6x serving-capacity collapse over the remote-TPU tunnel.
     return FruitObservations(
-        T_wc=jnp.asarray(T_wc),
-        rays=jnp.asarray(rays),
-        ray_valid=jnp.asarray(ray_valid),
-        depth_obs=jnp.asarray(depth_obs),
-        frame_valid=jnp.asarray(frame_valid),
-        points_w=jnp.asarray(pts),
-        point_valid=jnp.asarray(point_valid),
+        T_wc=T_wc,
+        rays=rays,
+        ray_valid=ray_valid,
+        depth_obs=depth_obs,
+        frame_valid=frame_valid,
+        points_w=pts,
+        point_valid=point_valid,
     )
 
 

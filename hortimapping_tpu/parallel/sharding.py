@@ -29,7 +29,7 @@ and are dropped by the caller.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -117,6 +117,40 @@ def pad_to_multiple(
     )
 
 
+@lru_cache(maxsize=64)
+def _sharded_solver(mesh: Mesh, spec: DecoderSpec, cfg: JointOptConfig,
+                    cube_radius: float, pose_known: bool):
+    """Build (once per static configuration) the jitted sharded solve.
+
+    The shard_map-wrapped callable MUST be cached: rebuilding it per call
+    gives jit a fresh function identity every time, so every served batch
+    would retrace + recompile the whole mapped while_loop program (measured
+    ~4 s per call on the 8-device dryrun — the dryrun's no-serialize
+    assertion is what caught this)."""
+    fruit = P("fruit")
+    repl = P()
+    obs_specs = FruitObservations(*([fruit] * len(FruitObservations._fields)))
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(repl, obs_specs, fruit, fruit),
+        out_specs=OptResult(fruit, fruit, fruit, fruit, fruit),
+        check_vma=False,
+    )
+    def _run(params_, obs_, lat0_, T0_):
+        # both phases of the two-resolution solve (and the trust-region
+        # while_loop) are per-lane local math — still zero collectives
+        solver = (coarse_to_fine_joint_opt if cfg.coarse_to_fine
+                  else shape_pose_joint_opt_batched)
+        return solver(
+            params_, spec, cfg, obs_, lat0_, T0_, cube_radius, pose_known
+        )
+
+    return _run
+
+
 def shard_joint_opt(
     params: Params,
     spec: DecoderSpec,
@@ -141,23 +175,7 @@ def shard_joint_opt(
 
     fruit = P("fruit")
     repl = P()
-    obs_specs = FruitObservations(*([fruit] * len(obs)))
-
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(repl, obs_specs, fruit, fruit),
-        out_specs=OptResult(fruit, fruit, fruit, fruit, fruit),
-        check_vma=False,
-    )
-    def _run(params_, obs_, lat0_, T0_):
-        # both phases of the two-resolution solve (and the trust-region
-        # while_loop) are per-lane local math — still zero collectives
-        solver = (coarse_to_fine_joint_opt if cfg.coarse_to_fine
-                  else shape_pose_joint_opt_batched)
-        return solver(
-            params_, spec, cfg, obs_, lat0_, T0_, cube_radius, pose_known
-        )
+    run = _sharded_solver(mesh, spec, cfg, float(cube_radius), bool(pose_known))
 
     # place inputs before dispatch so XLA doesn't re-layout inside the map
     sharded = jax.device_put(
@@ -168,5 +186,5 @@ def shard_joint_opt(
             NamedSharding(mesh, fruit),
         ),
     )
-    res = _run(jax.device_put(params, NamedSharding(mesh, repl)), *sharded)
+    res = run(jax.device_put(params, NamedSharding(mesh, repl)), *sharded)
     return jax.tree_util.tree_map(lambda a: a[:B], res)

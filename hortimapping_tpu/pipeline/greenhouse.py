@@ -90,20 +90,16 @@ def _load_intrinsics(rgbd_base: str):
     return K, [cam["height"], cam["width"]], cam["depth_scale"]
 
 
-def run_greenhouse_eval(cfg: Dict, multi_frame: bool, log=print) -> Dict:
+def prepare_greenhouse_instances(cfg: Dict, opt_cfg: JointOptConfig,
+                                 multi_frame: bool) -> List[Dict]:
+    """Host preprocessing for every optimization instance. Deterministic
+    (seeded rng) so the differential head-to-head tools can call it again
+    and feed the shimmed reference optimizer bit-identical inputs. Each
+    dict: label, rd, obs, points_w, T_ow0, T_wg, gt_points_w, gt_count,
+    result_dir."""
     import cv2
-    import jax
-    import jax.numpy as jnp
-
-    set_random_seed(42)
-    opt_cfg = JointOptConfig.from_dict(cfg)
-    params, spec = config_decoder(cfg["deepsdf_dir"], "latest")
-    latents_train = load_latent_vectors(cfg["deepsdf_dir"], "latest")
-    init_latent = np.asarray(jnp.mean(latents_train, axis=0))
 
     object_radius_max_m = float(cfg["vis"]["object_radius_max_m"])
-    mc_res_mm = float(cfg["vis"]["mc_res_mm"])
-    voxels_dim = int(2 * object_radius_max_m * 1e3 / mc_res_mm)
     deepsdf_baseline = cfg.get("baseline_name") == "DeepSDF"
     frame_per_fruit = int(cfg.get("frame_per_fruit", 20))
     data_dirs = cfg["data_dir"]
@@ -111,8 +107,7 @@ def run_greenhouse_eval(cfg: Dict, multi_frame: bool, log=print) -> Dict:
         data_dirs = [data_dirs]
 
     rng = np.random.default_rng(42)
-    # (label, obs, T_ow0, T_wg, gt_points_w, gt_count, result_dir)
-    prepared = []
+    prepared: List[Dict] = []
     for data_dir in data_dirs:
         # both modes read the "before" capture sequence
         # (`eval_wild_single_frame.py:81`, `eval_wild_multi_frames.py:95`)
@@ -221,8 +216,11 @@ def run_greenhouse_eval(cfg: Dict, multi_frame: bool, log=print) -> Dict:
                     rd, pcd_w.points, opt_cfg.n_frame,
                     opt_cfg.n_fg_pix, opt_cfg.n_bg_pix, opt_cfg.recon_n_pts,
                 )
-                prepared.append((fruit_id, obs, np.linalg.inv(T_wo0), T_wg,
-                                 gt_pcd.transform(T_wg).points, len(gt_pcd), result_dir))
+                prepared.append(dict(
+                    label=fruit_id, rd=rd, obs=obs, points_w=pcd_w.points,
+                    T_ow0=np.linalg.inv(T_wo0), T_wg=T_wg,
+                    gt_points_w=gt_pcd.transform(T_wg).points,
+                    gt_count=len(gt_pcd), result_dir=result_dir))
             else:
                 T_wc = np.linalg.inv(T_CW_SINGLE)
                 for img_id in sample_idx:
@@ -254,11 +252,31 @@ def run_greenhouse_eval(cfg: Dict, multi_frame: bool, log=print) -> Dict:
                         opt_cfg.n_fg_pix, opt_cfg.n_bg_pix, opt_cfg.recon_n_pts,
                     )
                     T_wg = T_wc @ np.linalg.inv(tfs_cam[img_id])
-                    prepared.append((f"{fruit_id}/{img_id_str}", obs,
-                                     np.linalg.inv(T_wo0), T_wg,
-                                     gt_pcd.transform(T_wg).points, len(gt_pcd),
-                                     result_dir))
+                    prepared.append(dict(
+                        label=f"{fruit_id}/{img_id_str}", rd=rd, obs=obs,
+                        points_w=pcd.points,
+                        T_ow0=np.linalg.inv(T_wo0), T_wg=T_wg,
+                        gt_points_w=gt_pcd.transform(T_wg).points,
+                        gt_count=len(gt_pcd), result_dir=result_dir))
+    return prepared
 
+
+def run_greenhouse_eval(cfg: Dict, multi_frame: bool, log=print) -> Dict:
+    import jax
+    import jax.numpy as jnp
+
+    set_random_seed(42)
+    opt_cfg = JointOptConfig.from_dict(cfg)
+    params, spec = config_decoder(cfg["deepsdf_dir"], "latest")
+    latents_train = load_latent_vectors(cfg["deepsdf_dir"], "latest")
+    init_latent = np.asarray(jnp.mean(latents_train, axis=0))
+
+    object_radius_max_m = float(cfg["vis"]["object_radius_max_m"])
+    mc_res_mm = float(cfg["vis"]["mc_res_mm"])
+    voxels_dim = int(2 * object_radius_max_m * 1e3 / mc_res_mm)
+    deepsdf_baseline = cfg.get("baseline_name") == "DeepSDF"
+
+    prepared = prepare_greenhouse_instances(cfg, opt_cfg, multi_frame)
     if not prepared:
         log("no valid instances")
         return {}
@@ -266,8 +284,8 @@ def run_greenhouse_eval(cfg: Dict, multi_frame: bool, log=print) -> Dict:
     # ---------------- batched solve ----------------
     B = len(prepared)
     lat0 = jnp.tile(jnp.asarray(init_latent)[None, :], (B, 1))
-    T0 = jnp.asarray(np.stack([p[2] for p in prepared]).astype(np.float32))
-    obs_b = stack_observations([p[1] for p in prepared])
+    T0 = jnp.asarray(np.stack([p["T_ow0"] for p in prepared]).astype(np.float32))
+    obs_b = stack_observations([p["obs"] for p in prepared])
     t0 = get_time()
     if deepsdf_baseline:
         lat_b, it_b = shape_opt_deepsdf_batched(
@@ -290,9 +308,9 @@ def run_greenhouse_eval(cfg: Dict, multi_frame: bool, log=print) -> Dict:
     cd_metric = ChamferDistance()
     pr_metric = PrecisionRecall(min_t=0.001, max_t=0.01, num=100)
     tran_err, rot_err = [], []
-    for i, ((label, _, _, T_wg, gt_pts_w, gt_count, result_dir), mesh) in enumerate(
-        zip(prepared, meshes)
-    ):
+    for i, (p, mesh) in enumerate(zip(prepared, meshes)):
+        T_wg, gt_pts_w, gt_count = p["T_wg"], p["gt_points_w"], p["gt_count"]
+        result_dir = p["result_dir"]
         T_wo = np.linalg.inv(T_ows[i])
         complete = mesh.sample_points_uniformly(gt_count)
         cd_metric.update(gt_pts_w, complete.points)
@@ -318,6 +336,9 @@ def run_greenhouse_eval(cfg: Dict, multi_frame: bool, log=print) -> Dict:
         "threshold[mm]": thre,
         "Error_trans[mm]": float(np.mean(tran_err)), "TransStd[mm]": float(np.std(tran_err)),
         "Error_rot[deg]": float(np.mean(rot_err)), "RotStd[deg]": float(np.std(rot_err)),
+        "cd_per_fruit_mm": [float(c) * 1e3 for c in cd_metric.cd_array],
+        "tran_err_per_fruit_mm": [float(t) for t in tran_err],
+        "rot_err_per_fruit_deg": [float(r) for r in rot_err],
         "timing_s": t_total / B, "iteration": float(np.mean(iters)), "frames": B,
     }
     target = "the whole test set" if cfg.get("fruit_id", "none") == "none" else cfg["fruit_id"]

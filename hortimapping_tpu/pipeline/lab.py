@@ -66,20 +66,13 @@ def _read_frame(rgbd_base: str, mask_file: str, depth_scale: float):
     return rgb, depth_raw, depth_m, mask
 
 
-def run_lab_eval(cfg: Dict, multi_frame: bool, log=print) -> Dict:
-    import jax
-    import jax.numpy as jnp
-
-    set_random_seed(42)
-    opt_cfg = JointOptConfig.from_dict(cfg)
-    params, spec = config_decoder(cfg["deepsdf_dir"], "latest")
-    latents_train = load_latent_vectors(cfg["deepsdf_dir"], "latest")
-    init_latent = np.asarray(jnp.mean(latents_train, axis=0))
-
-    object_radius_max_m = float(cfg["vis"]["object_radius_max_m"])
-    mc_res_mm = float(cfg["vis"]["mc_res_mm"])
-    voxels_dim = int(2 * object_radius_max_m * 1e3 / mc_res_mm)
-    deepsdf_baseline = cfg.get("baseline_name") == "DeepSDF"
+def prepare_lab_instances(cfg: Dict, opt_cfg: JointOptConfig,
+                          multi_frame: bool) -> List[Dict]:
+    """Host preprocessing for every optimization instance (fruit in multi
+    mode, fruit x sampled frame in single mode). Deterministic (seeded rng),
+    so the differential head-to-head tools can call it again and feed the
+    shimmed reference optimizer bit-identical inputs. Each dict carries:
+    label, rd (raw render_data), obs, center, gt_points, gt_count."""
     frame_per_fruit = int(cfg.get("frame_per_fruit", 10))
 
     with open(cfg["split"]) as f:
@@ -88,7 +81,7 @@ def run_lab_eval(cfg: Dict, multi_frame: bool, log=print) -> Dict:
         test_split = [cfg["fruit_id"]]
 
     rng = np.random.default_rng(42)
-    prepared = []  # (label, obs, gt_points_in_eval_frame, gt_count)
+    prepared: List[Dict] = []
     for fruit_id in test_split:
         input_base = os.path.join(cfg["data_dir"], fruit_id)
         rgbd_base = os.path.join(input_base, "realsense")
@@ -134,7 +127,10 @@ def run_lab_eval(cfg: Dict, multi_frame: bool, log=print) -> Dict:
                 rd, map_pcd.points, opt_cfg.n_frame,
                 opt_cfg.n_fg_pix, opt_cfg.n_bg_pix, opt_cfg.recon_n_pts,
             )
-            prepared.append((fruit_id, obs, center, gt_pcd.points, len(gt_pcd)))
+            prepared.append(dict(
+                label=fruit_id, rd=rd, obs=obs, center=center,
+                points_w=map_pcd.points,
+                gt_points=gt_pcd.points, gt_count=len(gt_pcd)))
         else:
             T_wc = np.linalg.inv(T_CW_SINGLE)
             for idx in sample_idx:
@@ -164,9 +160,37 @@ def run_lab_eval(cfg: Dict, multi_frame: bool, log=print) -> Dict:
                 # GT into this frame's world: T_wg = T_wc @ inv(T_gc)
                 T_wg = T_wc @ np.linalg.inv(tfs[img_id - 1])
                 gt_w = gt_pcd.transform(T_wg)
-                prepared.append((f"{fruit_id}/{img_id_str}", obs, center,
-                                 gt_w.points, len(gt_pcd)))
+                prepared.append(dict(
+                    label=f"{fruit_id}/{img_id_str}", rd=rd, obs=obs,
+                    center=center, points_w=pcd.points,
+                    gt_points=gt_w.points, gt_count=len(gt_pcd)))
+    return prepared
 
+
+def lab_T_ow0(center: np.ndarray) -> np.ndarray:
+    """Pose init: identity rotation, bbox-center translation
+    (`eval_lab_single_frame.py:238-241`)."""
+    T_wo = np.eye(4, dtype=np.float32)
+    T_wo[:3, 3] = center
+    return np.linalg.inv(T_wo)
+
+
+def run_lab_eval(cfg: Dict, multi_frame: bool, log=print) -> Dict:
+    import jax
+    import jax.numpy as jnp
+
+    set_random_seed(42)
+    opt_cfg = JointOptConfig.from_dict(cfg)
+    params, spec = config_decoder(cfg["deepsdf_dir"], "latest")
+    latents_train = load_latent_vectors(cfg["deepsdf_dir"], "latest")
+    init_latent = np.asarray(jnp.mean(latents_train, axis=0))
+
+    object_radius_max_m = float(cfg["vis"]["object_radius_max_m"])
+    mc_res_mm = float(cfg["vis"]["mc_res_mm"])
+    voxels_dim = int(2 * object_radius_max_m * 1e3 / mc_res_mm)
+    deepsdf_baseline = cfg.get("baseline_name") == "DeepSDF"
+
+    prepared = prepare_lab_instances(cfg, opt_cfg, multi_frame)
     if not prepared:
         log("no valid instances")
         return {}
@@ -174,13 +198,8 @@ def run_lab_eval(cfg: Dict, multi_frame: bool, log=print) -> Dict:
     # ---------------- batched solve ----------------
     B = len(prepared)
     lat0 = jnp.tile(jnp.asarray(init_latent)[None, :], (B, 1))
-    T0 = []
-    for _, _, center, _, _ in prepared:
-        T_wo = np.eye(4, dtype=np.float32)
-        T_wo[:3, 3] = center
-        T0.append(np.linalg.inv(T_wo))
-    T0 = jnp.asarray(np.stack(T0))
-    obs_b = stack_observations([p[1] for p in prepared])
+    T0 = jnp.asarray(np.stack([lab_T_ow0(p["center"]) for p in prepared]))
+    obs_b = stack_observations([p["obs"] for p in prepared])
 
     t0 = get_time()
     if deepsdf_baseline:
@@ -204,16 +223,17 @@ def run_lab_eval(cfg: Dict, multi_frame: bool, log=print) -> Dict:
     )
     cd_metric = ChamferDistance()
     pr_metric = PrecisionRecall(min_t=0.001, max_t=0.01, num=100)
-    for (label, _, _, gt_points, gt_count), mesh in zip(prepared, meshes):
-        complete = mesh.sample_points_uniformly(gt_count)
-        cd_metric.update(gt_points, complete.points)
-        pr_metric.update(gt_points, complete.points)
+    for p, mesh in zip(prepared, meshes):
+        complete = mesh.sample_points_uniformly(p["gt_count"])
+        cd_metric.update(p["gt_points"], complete.points)
+        pr_metric.update(p["gt_points"], complete.points)
 
     pr, re, f1, thre = pr_metric.compute_at_threshold(0.005)
     cd = cd_metric.compute()
     summary = {
         "CD[mm]": cd * 1e3, "F-score[%]": f1, "Precision[%]": pr,
         "Recall[%]": re, "threshold[mm]": thre,
+        "cd_per_fruit_mm": [float(c) * 1e3 for c in cd_metric.cd_array],
         "timing_s": t_total / B, "iteration": float(np.mean(iters)), "frames": B,
     }
     target = "the whole test set" if cfg.get("fruit_id", "none") == "none" else cfg["fruit_id"]

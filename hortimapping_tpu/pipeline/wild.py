@@ -230,7 +230,7 @@ def run_wild_completion(cfg: Dict, log=print) -> List[FruitResult]:
         )
     n_dev = len(jax.devices())
     mesher = MeshExtractor(params, spec, voxels_dim, object_radius_max_m)
-    interactive = type(vis).__name__ == "OptVisualizer"
+    interactive = getattr(vis, "interactive", False)
     with trace_if_enabled("wild_joint_opt"):
         if interactive:
             # reference-style interactive mode: sequential per-fruit solves

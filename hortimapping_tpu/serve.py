@@ -52,6 +52,12 @@ class CompletionRequest:
     pose_known: bool = False
 
 
+class ServerOverloaded(RuntimeError):
+    """Raised by submit() when the bounded queue is full (admission
+    control): the caller sheds load instead of silently growing the queue —
+    tail latency stays a configuration, not an accident."""
+
+
 @dataclasses.dataclass
 class CompletionResult:
     fruit_id: str
@@ -63,6 +69,54 @@ class CompletionResult:
     mesh: Optional[object] = None    # data.mesh.TriangleMesh when meshing on
     latency_s: float = 0.0           # submit -> result
     batch_size: int = 0              # real lanes in the batch that served it
+
+
+def _assemble_batch_np(reqs: List[CompletionRequest], target: int):
+    """Stack + pad a batch entirely in HOST numpy.
+
+    Every eager jnp op in the worker (stack, concatenate, zeros) with a
+    fresh shape compiles and dispatches a tiny device program; over a
+    remote-TPU link each one costs a compile + round trip (~0.3-1 s), and a
+    new batch size touches ~20 of them — measured as an 8 s stall on the
+    first 3-wide batch even with the SOLVER fully warm. Pure numpy assembly
+    makes the jitted solve call the only device interaction.
+
+    Padding semantics mirror `parallel.sharding.pad_to_multiple`: bool
+    validity masks pad False (lanes fail fast), numeric buffers repeat the
+    last real lane (well-conditioned math), poses pad identity.
+    """
+    from hortimapping_tpu.optim.state import FruitObservations
+
+    n = len(reqs)
+    rem = target - n
+    f32 = np.float32
+
+    def stack(get, pad_invalid: bool):
+        a = np.stack([np.asarray(get(r)) for r in reqs])
+        if rem > 0:
+            if pad_invalid and a.dtype == np.bool_:
+                pad = np.zeros((rem,) + a.shape[1:], a.dtype)
+            else:
+                pad = np.broadcast_to(a[-1:], (rem,) + a.shape[1:])
+            a = np.concatenate([a, pad], axis=0)
+        return a
+
+    obs = FruitObservations(
+        T_wc=stack(lambda r: r.obs.T_wc, False),
+        rays=stack(lambda r: r.obs.rays, False),
+        ray_valid=stack(lambda r: r.obs.ray_valid, True),
+        depth_obs=stack(lambda r: r.obs.depth_obs, False),
+        frame_valid=stack(lambda r: r.obs.frame_valid, True),
+        points_w=stack(lambda r: r.obs.points_w, False),
+        point_valid=stack(lambda r: r.obs.point_valid, True),
+    )
+    lat0 = np.stack([np.asarray(r.latent0, f32) for r in reqs])
+    T0 = np.stack([np.asarray(r.T_ow0, f32) for r in reqs])
+    if rem > 0:
+        lat0 = np.concatenate([lat0, np.zeros((rem,) + lat0.shape[1:], f32)])
+        eye = np.broadcast_to(np.eye(4, dtype=f32), (rem, 4, 4))
+        T0 = np.concatenate([T0, eye])
+    return obs, lat0, T0
 
 
 def _shape_key(req: CompletionRequest) -> Tuple:
@@ -93,6 +147,8 @@ class CompletionServer:
         max_batch: int = 16,
         max_wait_s: float = 0.02,
         mesher=None,
+        use_mesh: Optional[bool] = None,
+        max_queue: Optional[int] = None,
     ):
         self.params = params
         self.spec = spec
@@ -101,6 +157,25 @@ class CompletionServer:
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_s)
         self.mesher = mesher
+        # multi-chip serving: shard each batch over a fruit mesh
+        # (parallel/sharding.shard_joint_opt — per-device while_loops, zero
+        # collectives). None = auto: on when >1 device is visible. Batches
+        # are packed to mesh multiples (max_batch rounds up so every bucket
+        # still reuses ONE compiled executable per shape).
+        import jax
+
+        self._n_dev = len(jax.devices())
+        self.use_mesh = (self._n_dev > 1) if use_mesh is None else bool(use_mesh)
+        if self.use_mesh:
+            self.max_batch = -(-self.max_batch // self._n_dev) * self._n_dev
+        self._mesh = None  # built lazily by the worker thread
+        # admission control: bound on requests in flight (queued + being
+        # solved). None = unbounded (the round-2 behavior: at saturation
+        # latency is whatever the queue depth makes it). With a bound,
+        # submit() raises ServerOverloaded instead of deepening the queue —
+        # worst-case wait ~= (max_queue / max_batch + 1) batch times.
+        self.max_queue = max_queue
+        self._inflight = 0
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -169,9 +244,61 @@ class CompletionServer:
         with self._submit_lock:
             if self._stop.is_set() or self._thread is None:
                 raise RuntimeError("CompletionServer is not running (call start())")
+            if self.max_queue is not None:
+                with self._lock:
+                    if self._inflight >= self.max_queue:
+                        raise ServerOverloaded(
+                            f"{self._inflight} requests in flight "
+                            f"(max_queue={self.max_queue})")
+                    self._inflight += 1
             fut: "Future[CompletionResult]" = Future()
+            if self.max_queue is not None:
+                # resolves on set_result, set_exception AND client cancel
+                fut.add_done_callback(self._dec_inflight)
             self._q.put((req, fut, time.perf_counter()))
         return fut
+
+    def _dec_inflight(self, _fut) -> None:
+        with self._lock:
+            self._inflight -= 1
+
+    def warmup(self, sample: CompletionRequest) -> None:
+        """Precompile the solver for every batch width the packer can emit
+        (1, 2, 4, ..., max_batch, mesh-rounded).
+
+        A cold width hit mid-stream stalls serving for the full XLA compile
+        (tens of seconds — measured as a p50 collapse at 75% offered load in
+        the round-3 sweep); a serving process must precompile its program
+        set before taking traffic. Queue-based warmup is NOT equivalent:
+        the packer's grouping decides the widths it happens to touch."""
+        import jax
+
+        from hortimapping_tpu.optim.lm import joint_opt_packed, pack_result
+
+        widths = set()
+        w = 1
+        while w < self.max_batch:
+            widths.add(-(-w // self._n_dev) * self._n_dev if self.use_mesh else w)
+            w *= 2
+        widths.add(self.max_batch)
+        for w in sorted(widths):
+            obs, lat0, T0 = _assemble_batch_np([sample], w)
+            if self.use_mesh:
+                from hortimapping_tpu.parallel import fruit_mesh, shard_joint_opt
+
+                if self._mesh is None:
+                    self._mesh = fruit_mesh()
+                res = shard_joint_opt(
+                    self.params, self.spec, self.cfg, obs, lat0, T0,
+                    self.cube_radius, self._mesh, sample.pose_known,
+                )
+                np.asarray(jax.jit(pack_result)(res))
+            else:
+                _, packed = joint_opt_packed(
+                    self.params, self.spec, self.cfg, obs, lat0, T0,
+                    self.cube_radius, sample.pose_known,
+                )
+                np.asarray(packed)
 
     def stats(self) -> Dict:
         with self._lock:
@@ -184,6 +311,8 @@ class CompletionServer:
             "latency_p50_s": lat[len(lat) // 2] if lat else 0.0,
             "latency_p95_s": lat[int(len(lat) * 0.95)] if lat else 0.0,
             "queued": self._q.qsize() + self._pending_count(),
+            "devices": self._n_dev if self.use_mesh else 1,
+            "inflight": self._inflight,
         }
 
     def _pending_count(self) -> int:
@@ -241,11 +370,16 @@ class CompletionServer:
         return batch
 
     def _worker(self) -> None:
-        import jax.numpy as jnp
+        import jax
 
-        from hortimapping_tpu.data.rays import stack_observations
-        from hortimapping_tpu.optim.lm import joint_opt_packed
-        from hortimapping_tpu.parallel.sharding import pad_to_multiple
+        from hortimapping_tpu.optim.lm import joint_opt_packed, pack_result
+
+        if self.use_mesh:
+            from hortimapping_tpu.parallel import fruit_mesh, shard_joint_opt
+
+            if self._mesh is None:
+                self._mesh = fruit_mesh()
+            pack_jit = jax.jit(pack_result)
 
         while not self._stop.is_set() or not self._q.empty() or self._pending:
             batch = self._drain()
@@ -257,18 +391,37 @@ class CompletionServer:
             futs = [b[1] for b in batch]
             t_sub = [b[2] for b in batch]
             try:
-                obs = stack_observations([r.obs for r in reqs])
-                lat0 = jnp.stack([jnp.asarray(r.latent0, jnp.float32) for r in reqs])
-                T0 = jnp.stack([jnp.asarray(r.T_ow0, jnp.float32) for r in reqs])
                 n = len(reqs)
-                if n < self.max_batch:
-                    obs, lat0, T0, _ = pad_to_multiple(obs, lat0, T0, self.max_batch)
-                # solve + on-device result packing in ONE dispatched program
-                # (optim/lm.joint_opt_packed — both c2f phases inline too)
-                res, packed_dev = joint_opt_packed(
-                    self.params, self.spec, self.cfg, obs, lat0, T0,
-                    self.cube_radius, reqs[0].pose_known,
-                )
+                # pad to the next power of two (x mesh multiple), NOT to
+                # max_batch: padding light batches to full width made a
+                # 1-fruit batch cost a 16-wide solve (~0.6 s vs ~45 ms),
+                # collapsing the low-load service rate below even 25%
+                # offered load (measured in the round-3 load sweep).
+                # Compile variants stay bounded: log2(max_batch) sizes.
+                target = 1
+                while target < n:
+                    target *= 2
+                if self.use_mesh:
+                    target = -(-target // self._n_dev) * self._n_dev
+                # numpy assembly: zero eager device ops (see _assemble_batch_np)
+                obs, lat0, T0 = _assemble_batch_np(reqs, target)
+                if self.use_mesh:
+                    # fruit-sharded solve over the device mesh (already
+                    # padded to max_batch = a mesh multiple, so the internal
+                    # pad is a no-op and one executable serves the bucket)
+                    res = shard_joint_opt(
+                        self.params, self.spec, self.cfg, obs, lat0, T0,
+                        self.cube_radius, self._mesh, reqs[0].pose_known,
+                    )
+                    packed_dev = pack_jit(res)
+                else:
+                    # solve + on-device result packing in ONE dispatched
+                    # program (optim/lm.joint_opt_packed — both c2f phases
+                    # inline too)
+                    res, packed_dev = joint_opt_packed(
+                        self.params, self.spec, self.cfg, obs, lat0, T0,
+                        self.cube_radius, reqs[0].pose_known,
+                    )
                 # dispatch the mesh-grid decode BEFORE the packed result
                 # fetch so it runs on device while the results cross the
                 # tunnel

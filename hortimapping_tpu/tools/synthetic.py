@@ -259,13 +259,15 @@ def make_scene(
     dirs_full /= np.linalg.norm(dirs_full, axis=-1, keepdims=True)
     full_w = (dirs_full * radii) @ T_wo_gt[:3, :3].T + T_wo_gt[:3, 3]
 
+    # host numpy (not jnp): see data/rays.render_data_to_observations —
+    # request buffers must stay host-side until the one batched jit upload
     obs = FruitObservations(
-        T_wc=jnp.asarray(np.stack(T_wc)),
-        rays=jnp.asarray(np.stack(rays_all)),
-        ray_valid=jnp.asarray(np.stack(ray_valid)),
-        depth_obs=jnp.asarray(np.stack(depth_obs)),
-        frame_valid=jnp.asarray(np.asarray(frame_valid)),
-        points_w=jnp.asarray(points_w),
-        point_valid=jnp.asarray(point_valid),
+        T_wc=np.stack(T_wc).astype(np.float32),
+        rays=np.stack(rays_all),
+        ray_valid=np.stack(ray_valid),
+        depth_obs=np.stack(depth_obs),
+        frame_valid=np.asarray(frame_valid),
+        points_w=points_w,
+        point_valid=point_valid,
     )
     return obs, full_w.astype(np.float32)

@@ -98,7 +98,10 @@ def test_serve_multiple_waves_reuse_program():
         t0 = time.perf_counter()
         [srv.submit(r).result(timeout=300) for r in _requests(spec, 4, seed=9)]
         second = time.perf_counter() - t0
-    assert second < first  # compile happened once
+    # a per-wave recompile costs tens of seconds; warm waves are near-equal
+    # (the persistent compile cache can make the FIRST wave warm too, so a
+    # strict second<first is noise, not signal)
+    assert second < max(2.0 * first, first + 1.0), (first, second)
     assert srv.stats()["completed"] == 8
 
 
@@ -244,3 +247,73 @@ def test_serve_restart_after_stop_raises():
         srv.start()
     with pytest.raises(RuntimeError, match="not running"):
         srv.submit(_requests(spec, 1)[0])
+
+
+def test_serve_sharded_matches_single_device():
+    """Mesh-sharded serving (use_mesh=True on the 8-virtual-device CPU mesh)
+    must return lane-for-lane identical results to single-device serving —
+    the per-device while_loops freeze lanes independently but the per-lane
+    math is unchanged."""
+    params, spec = config_decoder(ASSET_DIR)
+    reqs = _requests(spec, 5, seed=33)
+
+    with CompletionServer(params, spec, CFG, cube_radius=0.1, max_batch=5,
+                          use_mesh=False) as srv:
+        want = [f.result(timeout=600) for f in [srv.submit(r) for r in reqs]]
+
+    srv2 = CompletionServer(params, spec, CFG, cube_radius=0.1, max_batch=5,
+                            use_mesh=True)
+    assert srv2.max_batch == 8  # rounded up to a mesh multiple
+    with srv2:
+        got = [f.result(timeout=600) for f in [srv2.submit(r) for r in reqs]]
+    assert srv2.stats()["devices"] == 8
+
+    for w, g in zip(want, got):
+        assert g.fruit_id == w.fruit_id
+        assert not g.failed
+        assert g.iter_count == w.iter_count
+        np.testing.assert_allclose(g.latent, w.latent, atol=1e-5)
+        np.testing.assert_allclose(g.T_ow, w.T_ow, atol=1e-5)
+
+
+def test_serve_admission_control():
+    """With max_queue set, submit() raises ServerOverloaded once the bound
+    is reached, and capacity frees as futures resolve."""
+    from hortimapping_tpu.serve import ServerOverloaded
+
+    params, spec = config_decoder(ASSET_DIR)
+    reqs = _requests(spec, 4, seed=55)
+    # long max_wait keeps the first two requests unresolved while the third
+    # submit arrives, making the rejection deterministic
+    srv = CompletionServer(params, spec, CFG, cube_radius=0.1, max_batch=8,
+                           max_wait_s=2.0, max_queue=2, use_mesh=False)
+    with srv:
+        f0 = srv.submit(reqs[0])
+        f1 = srv.submit(reqs[1])
+        with pytest.raises(ServerOverloaded):
+            srv.submit(reqs[2])
+        assert srv.stats()["inflight"] == 2
+        r0, r1 = f0.result(timeout=600), f1.result(timeout=600)
+        assert not r0.failed and not r1.failed
+        # capacity freed: a new submit is admitted again
+        f3 = srv.submit(reqs[3])
+        assert not f3.result(timeout=600).failed
+    assert srv.stats()["inflight"] == 0
+
+
+def test_serve_warmup_then_serve():
+    """warmup() precompiles all packer widths before traffic; serving after
+    warmup returns the same results as without it."""
+    params, spec = config_decoder(ASSET_DIR)
+    reqs = _requests(spec, 3, seed=77)
+    srv = CompletionServer(params, spec, CFG, cube_radius=0.1, max_batch=4,
+                           use_mesh=False)
+    srv.warmup(reqs[0])  # before start(): no worker needed
+    with srv:
+        got = [f.result(timeout=600) for f in [srv.submit(r) for r in reqs]]
+    obs = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[r.obs for r in reqs])
+    lat0 = jnp.stack([jnp.asarray(r.latent0) for r in reqs])
+    T0 = jnp.stack([jnp.asarray(r.T_ow0) for r in reqs])
+    want = shape_pose_joint_opt_batched(params, spec, CFG, obs, lat0, T0, 0.1)
+    for i, g in enumerate(got):
+        np.testing.assert_allclose(g.latent, np.asarray(want.latent[i]), atol=1e-5)

@@ -1,10 +1,20 @@
-"""Continuous-serving throughput benchmark on the wild-pepper workload.
+"""Continuous-serving benchmark on the wild-pepper workload.
 
-Drives `serve.CompletionServer` with a saturating producer (the serving
-shape of a mapping robot streaming submaps), measures steady-state
-fruits/sec and p50/p95 request latency, and prints one JSON line. Usage:
+Drives `serve.CompletionServer` two ways:
+
+  * default: a saturating producer (all requests at once) — measures
+    steady-state CAPACITY in fruits/sec; latency there is queue-depth, not
+    service time;
+  * `--sweep 0.25,0.5,0.75,0.9`: an offered-load sweep — requests arrive at
+    the given fraction of measured capacity with uniform inter-arrival
+    times, so p50/p95 reflect what a robot at that load actually waits.
+    `--max-queue N` bounds the queue (admission control); rejected submits
+    are counted, not retried.
+
+Prints one JSON line per measurement. Usage:
 
     python tools/serve_bench.py [--n-fruits 64] [--max-batch 16] [--parity]
+    python tools/serve_bench.py --sweep 0.25,0.5,0.75,0.9 [--max-queue 32]
 """
 
 from __future__ import annotations
@@ -28,6 +38,10 @@ def main() -> None:
     ap.add_argument("--parity", action="store_true",
                     help="reference-parity solver instead of coarse-to-fine")
     ap.add_argument("--mesh", action="store_true", help="also mesh results")
+    ap.add_argument("--sweep", default=None,
+                    help="comma-separated offered-load fractions of capacity")
+    ap.add_argument("--max-queue", type=int, default=None,
+                    help="admission-control bound on in-flight requests")
     args = ap.parse_args()
 
     import jax
@@ -68,31 +82,70 @@ def main() -> None:
               if args.mesh else None)
     srv = CompletionServer(params, spec, cfg, cube_radius=0.08,
                            max_batch=args.max_batch, max_wait_s=0.01,
-                           mesher=mesher)
+                           mesher=mesher, max_queue=args.max_queue)
     with srv:
-        # warmup with one FULL batch submitted together: sequential singles
-        # would warm the padded batch-of-1 path but leave the full-width
-        # jnp.stack/concat programs cold (~3 s first-batch penalty)
-        warm = [srv.submit(r) for r in reqs[: args.max_batch]]
+        # precompile every batch width the packer can emit (a cold width
+        # hit mid-stream stalls serving for the full XLA compile), then one
+        # real full batch to warm the host-side stack/concat paths
+        srv.warmup(reqs[0])
+        warm = [srv.submit(r) for r in reqs[: min(args.max_batch, len(reqs))]]
         [f.result(timeout=900) for f in warm]
+
+        # capacity: saturating producer (bypasses admission: batched waves)
         t0 = time.perf_counter()
-        futs = [srv.submit(r) for r in reqs]  # saturating producer
-        results = [f.result(timeout=900) for f in futs]
+        results = []
+        pending = []
+        for r in reqs:
+            while True:
+                try:
+                    pending.append(srv.submit(r))
+                    break
+                except Exception:  # ServerOverloaded under --max-queue
+                    results.append(pending.pop(0).result(timeout=900))
+        results += [f.result(timeout=900) for f in pending]
         wall = time.perf_counter() - t0
-    assert all(not r.failed for r in results)
-    lat = sorted(r.latency_s for r in results)
-    out = {
-        "metric": "serving_throughput",
-        "value": round(args.n_fruits / wall, 2),
-        "unit": "fruits/sec",
-        "n_fruits": args.n_fruits,
-        "max_batch": args.max_batch,
-        "solver": "parity" if args.parity else "coarse_to_fine",
-        "meshing": bool(args.mesh),
-        "latency_p50_s": round(lat[len(lat) // 2], 3),
-        "latency_p95_s": round(lat[int(len(lat) * 0.95)], 3),
-    }
-    print(json.dumps(out))
+        assert all(not r.failed for r in results)
+        capacity = args.n_fruits / wall
+        lat = sorted(r.latency_s for r in results)
+        print(json.dumps({
+            "metric": "serving_throughput",
+            "value": round(capacity, 2),
+            "unit": "fruits/sec",
+            "n_fruits": args.n_fruits,
+            "max_batch": args.max_batch,
+            "max_queue": args.max_queue,
+            "solver": "parity" if args.parity else "coarse_to_fine",
+            "meshing": bool(args.mesh),
+            "latency_p50_s": round(lat[len(lat) // 2], 3),
+            "latency_p95_s": round(lat[int(len(lat) * 0.95)], 3),
+        }), flush=True)
+
+        # offered-load sweep: uniform arrivals at load * capacity
+        for load in ([float(x) for x in args.sweep.split(",")] if args.sweep else []):
+            rate = load * capacity
+            futs, rejected = [], 0
+            t0 = time.perf_counter()
+            for i, r in enumerate(reqs):
+                target = t0 + i / rate
+                dt = target - time.perf_counter()
+                if dt > 0:
+                    time.sleep(dt)
+                try:
+                    futs.append(srv.submit(r))
+                except Exception:
+                    rejected += 1
+            results = [f.result(timeout=900) for f in futs]
+            lat = sorted(r.latency_s for r in results)
+            print(json.dumps({
+                "metric": "serving_latency",
+                "offered_load": load,
+                "rate_fruits_per_sec": round(rate, 2),
+                "served": len(results),
+                "rejected": rejected,
+                "latency_p50_s": round(lat[len(lat) // 2], 3),
+                "latency_p95_s": round(lat[int(len(lat) * 0.95)], 3),
+                "max_queue": args.max_queue,
+            }), flush=True)
 
 
 if __name__ == "__main__":
