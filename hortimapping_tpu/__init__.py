@@ -26,7 +26,7 @@ Layout:
   vis/       optional host-side visualizer (stub unless open3d present)
   tools/     synthetic world, decoder training, offline dataset generators
 
-See docs/COMPONENT_MAP.md for the line-by-line reference-to-here mapping.
+See docs/COMPONENTS.md for the line-by-line reference-to-here mapping.
 """
 
 __version__ = "0.1.0"
