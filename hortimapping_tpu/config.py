@@ -143,6 +143,10 @@ class JointOptConfig:
     retrieval_n_scales: int = 5
     retrieval_scale_min: float = 0.85
     retrieval_scale_max: float = 1.2
+    # bf16 scoring matmuls: half the scoring cost; rank-only use tolerates
+    # the rounding (wild probe: CD 0.486 vs 0.481 mm at ~1.6 vs ~7.5
+    # ms/fruit of scoring)
+    retrieval_score_bf16: bool = False
     multi_start: int = 1
     # outlier gates (applied by drivers after optimization)
     outlier_scale_min: float = 0.5
@@ -277,6 +281,7 @@ class JointOptConfig:
             retrieval_n_scales=int(tpu.get("retrieval_n_scales", d.retrieval_n_scales)),
             retrieval_scale_min=float(tpu.get("retrieval_scale_min", d.retrieval_scale_min)),
             retrieval_scale_max=float(tpu.get("retrieval_scale_max", d.retrieval_scale_max)),
+            retrieval_score_bf16=bool(tpu.get("retrieval_score_bf16", d.retrieval_score_bf16)),
             multi_start=int(tpu.get("multi_start", d.multi_start)),
             outlier_scale_min=float(out.get("scale_min", d.outlier_scale_min)),
             outlier_scale_max=float(out.get("scale_max", d.outlier_scale_max)),

@@ -47,8 +47,14 @@ def _score_codes(
     codes: jnp.ndarray,    # [N, C]
     points: jnp.ndarray,   # [P, 3] object-frame points (scaled candidates)
     valid: jnp.ndarray,    # [P] bool
+    bf16: bool = False,
 ) -> jnp.ndarray:
-    """Mean |clamped sdf| of each code over the observed points. [N]."""
+    """Mean |clamped sdf| of each code over the observed points. [N].
+
+    `bf16` runs the scoring matmuls at the MXU native rate — scores only
+    RANK candidates, and the clamped 256-point mean averages the rounding
+    noise well below the code-to-code score spread (validated on the wild
+    probe: identical CD to f32 scoring at half the cost)."""
     N, C = codes.shape
     P = points.shape[0]
     inp = jnp.concatenate(
@@ -58,7 +64,9 @@ def _score_codes(
         ],
         axis=-1,
     )
-    sdf = decoder_apply(params, spec, inp.reshape(N * P, C + 3)).reshape(N, P)
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    sdf = decoder_apply(params, spec, inp.reshape(N * P, C + 3),
+                        compute_dtype=dtype).astype(jnp.float32).reshape(N, P)
     # clamp: far-off codes saturate at the clamping distance instead of
     # dominating the mean through tanh tails
     err = jnp.minimum(jnp.abs(sdf), spec.clamping_distance)
@@ -67,7 +75,7 @@ def _score_codes(
 
 
 @partial(jax.jit, static_argnames=("spec", "top_k", "n_score_pts", "n_scales",
-                                   "scale_min", "scale_max"))
+                                   "scale_min", "scale_max", "score_bf16"))
 def retrieval_init_batched(
     params: Params,
     spec: DecoderSpec,
@@ -80,6 +88,7 @@ def retrieval_init_batched(
     scale_min: float = 0.85,
     scale_max: float = 1.2,
     T_init: Optional[jnp.ndarray] = None,   # [B, 4, 4] pose init (None = identity)
+    score_bf16: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Retrieve the best (code, scale) start per fruit.
 
@@ -111,7 +120,8 @@ def retrieval_init_batched(
         # world->object as x_o = sigma * x_w, so a fruit larger than
         # canonical scores best at sigma < 1.
         def at_scale(sig):
-            return _score_codes(params, spec, latent_table, sig * sub, sub_v)
+            return _score_codes(params, spec, latent_table, sig * sub, sub_v,
+                                bf16=score_bf16)
 
         s = jax.vmap(at_scale)(scales)                    # [S, N]
         per_code = jnp.min(s, axis=0)                     # [N] best over scales
@@ -133,6 +143,47 @@ def retrieval_init_batched(
         )
 
     return jax.vmap(per_fruit)(points_w, point_valid, T_init)
+
+
+@partial(jax.jit, static_argnames=("spec", "cfg", "cube_radius", "pose_known",
+                                   "top_k", "n_score_pts", "n_scales",
+                                   "scale_min", "scale_max", "score_bf16"))
+def retrieval_joint_opt(
+    params: Params,
+    spec: DecoderSpec,
+    cfg: JointOptConfig,
+    latent_table: jnp.ndarray,
+    obs: FruitObservations,   # leading fruit axis
+    T_init: jnp.ndarray,      # [B, 4, 4]
+    cube_radius: float,
+    pose_known: bool = False,
+    top_k: int = 8,
+    n_score_pts: int = 256,
+    n_scales: int = 5,
+    scale_min: float = 0.85,
+    scale_max: float = 1.2,
+    score_bf16: bool = False,
+) -> OptResult:
+    """Retrieval warm start + the configured solver in ONE jitted program.
+
+    The separate `retrieval_init_batched` + solve calls each pay a dispatch
+    round trip over a remote-TPU link (~3 ms/fruit measured on the 16-fruit
+    bench); fusing them makes the warm-started solve cost exactly one
+    dispatch, like the plain solve."""
+    from hortimapping_tpu.optim.lm import (
+        coarse_to_fine_joint_opt,
+        shape_pose_joint_opt_batched,
+    )
+
+    lat_r, T_r, _, _ = retrieval_init_batched(
+        params, spec, latent_table, obs.points_w, obs.point_valid,
+        top_k=top_k, n_score_pts=n_score_pts, n_scales=n_scales,
+        scale_min=scale_min, scale_max=scale_max, T_init=T_init,
+        score_bf16=score_bf16,
+    )
+    solver = (coarse_to_fine_joint_opt if cfg.coarse_to_fine
+              else shape_pose_joint_opt_batched)
+    return solver(params, spec, cfg, obs, lat_r, T_r, cube_radius, pose_known)
 
 
 @partial(jax.jit, static_argnames=("spec", "cfg", "cube_radius"))

@@ -143,6 +143,7 @@ def run_challenge(cfg: Dict, log=print) -> Dict:
                 n_scales=opt_cfg.retrieval_n_scales,
                 scale_min=opt_cfg.retrieval_scale_min,
                 scale_max=opt_cfg.retrieval_scale_max,
+                score_bf16=opt_cfg.retrieval_score_bf16,
             )
         if top_codes is not None and opt_cfg.multi_start > 1:
             from hortimapping_tpu.optim.warmstart import multi_start_joint_opt

@@ -227,6 +227,7 @@ def run_wild_completion(cfg: Dict, log=print) -> List[FruitResult]:
             scale_min=opt_cfg.retrieval_scale_min,
             scale_max=opt_cfg.retrieval_scale_max,
             T_init=T0,
+            score_bf16=opt_cfg.retrieval_score_bf16,
         )
     n_dev = len(jax.devices())
     mesher = MeshExtractor(params, spec, voxels_dim, object_radius_max_m)

@@ -171,3 +171,46 @@ def test_objective_finite_and_ranks_gt_lowest():
         params, spec, CFG, obs, rand_lat, eye, 0.1))
     assert np.all(np.isfinite(c_gt))
     assert np.all(c_gt < c_rand)
+
+
+def test_retrieval_joint_opt_matches_two_step():
+    """The fused retrieval+solve program must equal retrieval_init_batched
+    followed by the batched solver (same math, one dispatch)."""
+    from hortimapping_tpu.optim.warmstart import retrieval_joint_opt
+
+    params, spec = config_decoder(ASSET_DIR)
+    table, obs, _ = _table_and_fruits(spec, n_fruits=2)
+    T0 = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (2, 1, 1))
+
+    lat_r, T_r, _, _ = retrieval_init_batched(
+        params, spec, table, obs.points_w, obs.point_valid,
+        top_k=4, n_score_pts=64, T_init=T0,
+    )
+    want = shape_pose_joint_opt_batched(params, spec, CFG, obs, lat_r, T_r, 0.1)
+    got = retrieval_joint_opt(params, spec, CFG, table, obs, T0, 0.1,
+                              top_k=4, n_score_pts=64)
+    np.testing.assert_allclose(np.asarray(got.latent), np.asarray(want.latent),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.T_ow), np.asarray(want.T_ow),
+                               atol=1e-5)
+
+
+def test_retrieval_bf16_scoring_ranks_like_f32():
+    """bf16 scoring is rank-only: on the flagship decoder it must retrieve
+    the same best code as f32 scoring."""
+    params, spec = config_decoder(PEPPER_DIR)
+    from hortimapping_tpu.models.workspace import load_latent_vectors
+
+    table = load_latent_vectors(PEPPER_DIR)
+    cat = SyntheticCategory(spec=spec, base_radius=0.06)
+    obs, _ = make_scene(cat, np.asarray(table[17]), np.eye(4, dtype=np.float32),
+                        n_frames=2, n_fg=64, n_bg=32, n_points=128, seed=3)
+    obs_b = jax.tree_util.tree_map(lambda a: a[None], obs)
+    lat_f32, T_f32, _, _ = retrieval_init_batched(
+        params, spec, table, obs_b.points_w, obs_b.point_valid,
+        top_k=4, n_score_pts=128)
+    lat_bf16, T_bf16, _, _ = retrieval_init_batched(
+        params, spec, table, obs_b.points_w, obs_b.point_valid,
+        top_k=4, n_score_pts=128, score_bf16=True)
+    np.testing.assert_allclose(np.asarray(lat_bf16), np.asarray(lat_f32), atol=0)
+    np.testing.assert_allclose(np.asarray(T_bf16), np.asarray(T_f32), atol=0)
