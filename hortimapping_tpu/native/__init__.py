@@ -8,6 +8,8 @@ toolchain — the native path is just faster.
 Provides host-side equivalents of what the reference pulled from
 skimage/Open3D C++:
   marching_tetrahedra  — iso-surface extraction (ref: `utils.py:565-588`)
+  marching_cubes       — classic cube-cell MC, asymptotic-decider ambiguity
+                         handling (ref meshes with skimage MC, `utils.py:576`)
   dbscan               — largest-cluster filtering (ref: `utils.py:407-417`)
   nn_distances         — point-cloud NN distances (ref: `metrics_3d/*`)
 """
@@ -51,6 +53,8 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_float)), ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)), ctypes.POINTER(ctypes.c_int64),
             ]
+            lib.horti_marching_cubes.restype = ctypes.c_int
+            lib.horti_marching_cubes.argtypes = lib.horti_marching_tetrahedra.argtypes
             lib.horti_free.argtypes = [ctypes.c_void_p]
             lib.horti_dbscan.restype = ctypes.c_int
             lib.horti_dbscan.argtypes = [
@@ -72,6 +76,29 @@ def have_native() -> bool:
     return _load() is not None
 
 
+def _iso_surface_native(fn, grid, iso, spacing):
+    nx, ny, nz = grid.shape
+    pv = ctypes.POINTER(ctypes.c_float)()
+    pf = ctypes.POINTER(ctypes.c_int32)()
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    rc = fn(
+        grid.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), nx, ny, nz,
+        ctypes.c_float(iso), ctypes.c_float(spacing),
+        ctypes.byref(pv), ctypes.byref(nv), ctypes.byref(pf), ctypes.byref(nf),
+    )
+    if rc != 0:
+        raise MemoryError("iso-surface allocation failed")
+    try:
+        verts = np.ctypeslib.as_array(pv, shape=(nv.value, 3)).copy() if nv.value else np.zeros((0, 3), np.float32)
+        faces = np.ctypeslib.as_array(pf, shape=(nf.value, 3)).copy() if nf.value else np.zeros((0, 3), np.int32)
+    finally:
+        lib = _load()
+        lib.horti_free(pv)
+        lib.horti_free(pf)
+    return verts, faces
+
+
 def marching_tetrahedra(
     grid: np.ndarray, iso: float = 0.0, spacing: float = 1.0
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -82,28 +109,29 @@ def marching_tetrahedra(
     decomposition, welded vertices).
     """
     grid = np.ascontiguousarray(grid, np.float32)
-    nx, ny, nz = grid.shape
     lib = _load()
     if lib is None:
         return _marching_tetrahedra_numpy(grid, iso, spacing)
-    pv = ctypes.POINTER(ctypes.c_float)()
-    pf = ctypes.POINTER(ctypes.c_int32)()
-    nv = ctypes.c_int64()
-    nf = ctypes.c_int64()
-    rc = lib.horti_marching_tetrahedra(
-        grid.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), nx, ny, nz,
-        ctypes.c_float(iso), ctypes.c_float(spacing),
-        ctypes.byref(pv), ctypes.byref(nv), ctypes.byref(pf), ctypes.byref(nf),
-    )
-    if rc != 0:
-        raise MemoryError("marching_tetrahedra allocation failed")
-    try:
-        verts = np.ctypeslib.as_array(pv, shape=(nv.value, 3)).copy() if nv.value else np.zeros((0, 3), np.float32)
-        faces = np.ctypeslib.as_array(pf, shape=(nf.value, 3)).copy() if nf.value else np.zeros((0, 3), np.int32)
-    finally:
-        lib.horti_free(pv)
-        lib.horti_free(pf)
-    return verts, faces
+    return _iso_surface_native(lib.horti_marching_tetrahedra, grid, iso, spacing)
+
+
+def marching_cubes(
+    grid: np.ndarray, iso: float = 0.0, spacing: float = 1.0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Classic cube-cell marching cubes (the reference meshes with skimage's
+    MC, `wild_completion/utils.py:576-578`).
+
+    Table-free construction: welded vertex per crossing cube edge (identical
+    interpolation to :func:`marching_tetrahedra`, so vertex positions are the
+    classic MC ones), marching-squares pairing on each face with the bilinear
+    asymptotic decider on ambiguous faces, per-cube polygon loops fan-
+    triangulated with outward-consistent winding (normals toward +SDF).
+    """
+    grid = np.ascontiguousarray(grid, np.float32)
+    lib = _load()
+    if lib is None:
+        return _marching_cubes_numpy(grid, iso, spacing)
+    return _iso_surface_native(lib.horti_marching_cubes, grid, iso, spacing)
 
 
 def dbscan(points: np.ndarray, eps: float, min_points: int) -> np.ndarray:
@@ -203,6 +231,137 @@ def _marching_tetrahedra_numpy(grid, iso, spacing):
                         adj = [e for e in (1, 2, 3) if e != op]
                         faces.append([ev[0], ev[adj[0]], ev[op]])
                         faces.append([ev[0], ev[op], ev[adj[1]]])
+    v = np.asarray(verts, np.float32).reshape(-1, 3)
+    f = np.asarray(faces, np.int32).reshape(-1, 3)
+    return v, f
+
+
+# cube edges / faces for the classic-MC mirror (same tables as the C++)
+_CEDGE = np.array(
+    [[0, 1], [2, 3], [4, 5], [6, 7],
+     [0, 2], [1, 3], [4, 6], [5, 7],
+     [0, 4], [1, 5], [2, 6], [3, 7]]
+)
+_FACES = np.array(
+    [[0, 2, 6, 4], [1, 3, 7, 5],
+     [0, 1, 5, 4], [2, 3, 7, 6],
+     [0, 1, 3, 2], [4, 5, 7, 6]]
+)
+_FACE_EDGE = np.array(
+    [[{tuple(sorted(e)): i for i, e in enumerate(map(tuple, _CEDGE))}[
+        tuple(sorted((f[s], f[(s + 1) % 4])))] for s in range(4)]
+     for f in _FACES]
+)
+
+
+def _marching_cubes_numpy(grid, iso, spacing):
+    """Exact python mirror of the C++ classic-MC kernel (and its test oracle)."""
+    nx, ny, nz = grid.shape
+    weld = {}
+    verts = []
+    faces = []
+
+    def gid(i, j, k):
+        return (i * ny + j) * nz + k
+
+    def coord(g):
+        return np.array([g // (ny * nz), (g // nz) % ny, g % nz], float)
+
+    def edge_vertex(ga, gb):
+        key = (ga, gb) if ga < gb else (gb, ga)
+        if key in weld:
+            return weld[key]
+        va, vb = grid.flat[ga], grid.flat[gb]
+        t = np.clip((iso - va) / (vb - va), 0.0, 1.0)
+        p = (coord(ga) + t * (coord(gb) - coord(ga))) * spacing
+        idx = len(verts)
+        verts.append(p)
+        weld[key] = idx
+        return idx
+
+    for i in range(nx - 1):
+        for j in range(ny - 1):
+            for k in range(nz - 1):
+                cg = [gid(i + c[0], j + c[1], k + c[2]) for c in _CORNER]
+                cv = [grid.flat[g] for g in cg]
+                inside = [v < iso for v in cv]
+                if not any(inside) or all(inside):
+                    continue
+                evert = [
+                    edge_vertex(cg[a], cg[b]) if inside[a] != inside[b] else -1
+                    for a, b in _CEDGE
+                ]
+                adj = {e: [] for e in range(12) if evert[e] >= 0}
+                on_amb_face = [False] * 12
+                for f in range(6):
+                    q = _FACES[f]
+                    xs = [s for s in range(4)
+                          if inside[q[s]] != inside[q[(s + 1) % 4]]]
+                    if len(xs) == 2:
+                        pairs = [(xs[0], xs[1])]
+                    elif len(xs) == 4:
+                        for s in range(4):
+                            on_amb_face[_FACE_EDGE[f][s]] = True
+                        v0, v1, v2, v3 = (cv[c] for c in q)
+                        denom = v0 + v2 - v1 - v3
+                        saddle_inside = (
+                            denom != 0.0 and (v0 * v2 - v1 * v3) / denom < iso)
+                        pairs = ([(0, 1), (2, 3)]
+                                 if saddle_inside == inside[q[0]]
+                                 else [(3, 0), (1, 2)])
+                    else:
+                        continue
+                    for sa, sb in pairs:
+                        ea, eb = _FACE_EDGE[f][sa], _FACE_EDGE[f][sb]
+                        adj[ea].append(eb)
+                        adj[eb].append(ea)
+                used = set()
+                for e0 in range(12):
+                    if evert[e0] < 0 or e0 in used or len(adj.get(e0, ())) != 2:
+                        continue
+                    loop, prev, cur = [], -1, e0
+                    while True:
+                        loop.append(cur)
+                        used.add(cur)
+                        nxt = adj[cur][1] if adj[cur][0] == prev else adj[cur][0]
+                        prev, cur = cur, nxt
+                        if cur == e0 or cur in used or len(loop) >= 12:
+                            break
+                    if len(loop) < 3:
+                        continue
+                    pts = np.array([verts[evert[e]] for e in loop])
+                    nrm = np.zeros(3)
+                    for m in range(len(loop)):
+                        pa, pb = pts[m], pts[(m + 1) % len(loop)]
+                        nrm += [(pa[1] - pb[1]) * (pa[2] + pb[2]),
+                                (pa[2] - pb[2]) * (pa[0] + pb[0]),
+                                (pa[0] - pb[0]) * (pa[1] + pb[1])]
+                    out_dir = np.zeros(3)
+                    for e in loop:
+                        a, b = _CEDGE[e]
+                        if inside[b]:
+                            a, b = b, a
+                        out_dir += _CORNER[b] - _CORNER[a]
+                    flip = float(nrm @ out_dir) < 0.0
+                    n = len(loop)
+                    # fan apex must avoid ambiguous (4-crossing) faces — see
+                    # the C++ kernel comment; centroid fallback otherwise
+                    apex = 0 if n == 3 else next(
+                        (m for m in range(n) if not on_amb_face[loop[m]]), -1)
+                    if apex >= 0:
+                        for m in range(1, n - 1):
+                            ia = (apex + (m + 1 if flip else m)) % n
+                            ib = (apex + (m if flip else m + 1)) % n
+                            faces.append([evert[loop[apex]],
+                                          evert[loop[ia]], evert[loop[ib]]])
+                    else:
+                        cidx = len(verts)
+                        verts.append(pts.mean(axis=0))
+                        for m in range(n):
+                            ia = (m + 1) % n if flip else m
+                            ib = m if flip else (m + 1) % n
+                            faces.append([cidx, evert[loop[ia]],
+                                          evert[loop[ib]]])
     v = np.asarray(verts, np.float32).reshape(-1, 3)
     f = np.asarray(faces, np.int32).reshape(-1, 3)
     return v, f

@@ -48,28 +48,21 @@ struct VKeyHash {
     }
 };
 
+// Shared vertex welder: one vertex per crossing grid edge, positioned by
+// linear interpolation to the iso value. Both iso-surfacers (marching
+// tetrahedra below, classic marching cubes further down) weld through this,
+// so their vertex SETS agree wherever they cross the same grid edges.
 struct McState {
     std::vector<float> verts;
     std::vector<int32_t> faces;
-};
-
-// grid: row-major (nx, ny, nz), value at (i,j,k) = grid[(i*ny + j)*nz + k].
-// Returns 0 on success. Outputs are malloc'd; free with horti_free.
-int horti_marching_tetrahedra(const float* grid, int nx, int ny, int nz,
-                              float iso, float spacing,
-                              float** out_verts, int64_t* n_verts,
-                              int32_t** out_faces, int64_t* n_faces) {
     std::unordered_map<VKey, int32_t, VKeyHash> weld;
-    McState st;
-    auto gid = [&](int i, int j, int k) -> int64_t {
-        return ((int64_t)i * ny + j) * nz + k;
-    };
+    int ny = 0, nz = 0;
+    float iso = 0.f, spacing = 1.f;
 
-    auto edge_vertex = [&](int64_t ga, int64_t gb, float va, float vb) -> int32_t {
+    int32_t edge_vertex(int64_t ga, int64_t gb, float va, float vb) {
         VKey key = ga < gb ? VKey{ga, gb} : VKey{gb, ga};
         auto it = weld.find(key);
         if (it != weld.end()) return it->second;
-        // interpolate along the edge
         float t = (iso - va) / (vb - va);
         if (!(t >= 0.f)) t = 0.f;
         if (!(t <= 1.f)) t = 1.f;
@@ -82,12 +75,41 @@ int horti_marching_tetrahedra(const float* grid, int nx, int ny, int nz,
         float x = (ai + t * (bi - ai)) * spacing;
         float y = (aj + t * (bj - aj)) * spacing;
         float z = (ak + t * (bk - ak)) * spacing;
-        int32_t idx = (int32_t)(st.verts.size() / 3);
-        st.verts.push_back(x);
-        st.verts.push_back(y);
-        st.verts.push_back(z);
+        int32_t idx = (int32_t)(verts.size() / 3);
+        verts.push_back(x);
+        verts.push_back(y);
+        verts.push_back(z);
         weld.emplace(key, idx);
         return idx;
+    }
+};
+
+static int mc_finalize(const McState& st, float** out_verts, int64_t* n_verts,
+                       int32_t** out_faces, int64_t* n_faces) {
+    *n_verts = (int64_t)(st.verts.size() / 3);
+    *n_faces = (int64_t)(st.faces.size() / 3);
+    *out_verts = (float*)malloc(st.verts.size() * sizeof(float));
+    *out_faces = (int32_t*)malloc(st.faces.size() * sizeof(int32_t));
+    if ((st.verts.size() && !*out_verts) || (st.faces.size() && !*out_faces)) return -1;
+    if (st.verts.size()) memcpy(*out_verts, st.verts.data(), st.verts.size() * sizeof(float));
+    if (st.faces.size()) memcpy(*out_faces, st.faces.data(), st.faces.size() * sizeof(int32_t));
+    return 0;
+}
+
+// grid: row-major (nx, ny, nz), value at (i,j,k) = grid[(i*ny + j)*nz + k].
+// Returns 0 on success. Outputs are malloc'd; free with horti_free.
+int horti_marching_tetrahedra(const float* grid, int nx, int ny, int nz,
+                              float iso, float spacing,
+                              float** out_verts, int64_t* n_verts,
+                              int32_t** out_faces, int64_t* n_faces) {
+    McState st;
+    st.ny = ny; st.nz = nz; st.iso = iso; st.spacing = spacing;
+    auto gid = [&](int i, int j, int k) -> int64_t {
+        return ((int64_t)i * ny + j) * nz + k;
+    };
+
+    auto edge_vertex = [&](int64_t ga, int64_t gb, float va, float vb) -> int32_t {
+        return st.edge_vertex(ga, gb, va, vb);
     };
 
     for (int i = 0; i + 1 < nx; ++i) {
@@ -152,17 +174,214 @@ int horti_marching_tetrahedra(const float* grid, int nx, int ny, int nz,
         }
     }
 
-    *n_verts = (int64_t)(st.verts.size() / 3);
-    *n_faces = (int64_t)(st.faces.size() / 3);
-    *out_verts = (float*)malloc(st.verts.size() * sizeof(float));
-    *out_faces = (int32_t*)malloc(st.faces.size() * sizeof(int32_t));
-    if ((st.verts.size() && !*out_verts) || (st.faces.size() && !*out_faces)) return -1;
-    if (st.verts.size()) memcpy(*out_verts, st.verts.data(), st.verts.size() * sizeof(float));
-    if (st.faces.size()) memcpy(*out_faces, st.faces.data(), st.faces.size() * sizeof(int32_t));
-    return 0;
+    return mc_finalize(st, out_verts, n_verts, out_faces, n_faces);
 }
 
 void horti_free(void* p) { free(p); }
+
+// ---------------------------------------------------------------------------
+// Classic marching cubes (cube cells, asymptotic-decider ambiguity handling)
+// ---------------------------------------------------------------------------
+// The reference extracts its meshes with skimage's cube-based marching cubes
+// (`wild_completion/utils.py:576-578`). This is the cube-cell equivalent,
+// built table-free: per cube, every crossing cube edge gets a welded vertex
+// (same interpolation as MT above, so the vertex positions are the classic
+// MC ones); crossing points are linked pairwise on each cube face by
+// marching-squares pairing, with the bilinear asymptotic decider resolving
+// the ambiguous (diagonal) face case — the topologically correct choice that
+// fixed-table MC gets wrong on saddle faces. The resulting per-cube closed
+// polygons are fan-triangulated with outward-consistent winding (normals
+// point toward increasing SDF).
+
+// 12 cube edges as corner pairs (corner bit0 = x, bit1 = y, bit2 = z).
+static const int CEDGE[12][2] = {
+    {0, 1}, {2, 3}, {4, 5}, {6, 7},   // x-aligned
+    {0, 2}, {1, 3}, {4, 6}, {5, 7},   // y-aligned
+    {0, 4}, {1, 5}, {2, 6}, {3, 7},   // z-aligned
+};
+
+// 6 faces, 4 corners each in cyclic order.
+static const int FACES[6][4] = {
+    {0, 2, 6, 4}, {1, 3, 7, 5},   // x = 0, 1
+    {0, 1, 5, 4}, {2, 3, 7, 6},   // y = 0, 1
+    {0, 1, 3, 2}, {4, 5, 7, 6},   // z = 0, 1
+};
+
+// FACE_EDGE[f][s] = cube-edge index between FACES[f][s] and FACES[f][(s+1)%4].
+static int FACE_EDGE[6][4];
+static bool face_edge_init_done = [] {
+    int lut[8][8];
+    for (int a = 0; a < 8; ++a)
+        for (int b = 0; b < 8; ++b) lut[a][b] = -1;
+    for (int e = 0; e < 12; ++e) {
+        lut[CEDGE[e][0]][CEDGE[e][1]] = e;
+        lut[CEDGE[e][1]][CEDGE[e][0]] = e;
+    }
+    for (int f = 0; f < 6; ++f)
+        for (int s = 0; s < 4; ++s)
+            FACE_EDGE[f][s] = lut[FACES[f][s]][FACES[f][(s + 1) % 4]];
+    return true;
+}();
+
+int horti_marching_cubes(const float* grid, int nx, int ny, int nz,
+                         float iso, float spacing,
+                         float** out_verts, int64_t* n_verts,
+                         int32_t** out_faces, int64_t* n_faces) {
+    McState st;
+    st.ny = ny; st.nz = nz; st.iso = iso; st.spacing = spacing;
+    auto gid = [&](int i, int j, int k) -> int64_t {
+        return ((int64_t)i * ny + j) * nz + k;
+    };
+
+    for (int i = 0; i + 1 < nx; ++i) {
+        for (int j = 0; j + 1 < ny; ++j) {
+            for (int k = 0; k + 1 < nz; ++k) {
+                float cv[8];
+                int64_t cg[8];
+                bool inside[8];
+                int mask = 0;
+                for (int c = 0; c < 8; ++c) {
+                    cg[c] = gid(i + CORNER[c][0], j + CORNER[c][1], k + CORNER[c][2]);
+                    cv[c] = grid[cg[c]];
+                    inside[c] = cv[c] < iso;
+                    if (inside[c]) mask |= 1 << c;
+                }
+                if (mask == 0 || mask == 255) continue;
+
+                // welded vertex per crossing cube edge
+                int32_t evert[12];
+                for (int e = 0; e < 12; ++e) {
+                    int a = CEDGE[e][0], b = CEDGE[e][1];
+                    evert[e] = inside[a] != inside[b]
+                                   ? st.edge_vertex(cg[a], cg[b], cv[a], cv[b])
+                                   : -1;
+                }
+
+                // link crossing points pairwise on each face
+                int adj[12][2];
+                int deg[12] = {0};
+                bool on_amb_face[12] = {false};
+                auto link = [&](int ea, int eb) {
+                    if (deg[ea] < 2) adj[ea][deg[ea]++] = eb;
+                    if (deg[eb] < 2) adj[eb][deg[eb]++] = ea;
+                };
+                for (int f = 0; f < 6; ++f) {
+                    int xs[4], nxs = 0;
+                    for (int s = 0; s < 4; ++s) {
+                        int qa = FACES[f][s], qb = FACES[f][(s + 1) % 4];
+                        if (inside[qa] != inside[qb]) xs[nxs++] = s;
+                    }
+                    if (nxs == 2) {
+                        link(FACE_EDGE[f][xs[0]], FACE_EDGE[f][xs[1]]);
+                    } else if (nxs == 4) {
+                        for (int s = 0; s < 4; ++s)
+                            on_amb_face[FACE_EDGE[f][s]] = true;
+                        // ambiguous face: inside corners on one diagonal.
+                        // Asymptotic decider — the bilinear saddle value
+                        // decides which corner pair the two arcs wrap.
+                        float v0 = cv[FACES[f][0]], v1 = cv[FACES[f][1]];
+                        float v2 = cv[FACES[f][2]], v3 = cv[FACES[f][3]];
+                        float denom = v0 + v2 - v1 - v3;
+                        bool saddle_inside =
+                            denom != 0.f && (v0 * v2 - v1 * v3) / denom < iso;
+                        if (saddle_inside == inside[FACES[f][0]]) {
+                            link(FACE_EDGE[f][0], FACE_EDGE[f][1]);
+                            link(FACE_EDGE[f][2], FACE_EDGE[f][3]);
+                        } else {
+                            link(FACE_EDGE[f][3], FACE_EDGE[f][0]);
+                            link(FACE_EDGE[f][1], FACE_EDGE[f][2]);
+                        }
+                    }
+                }
+
+                // trace the closed polygon loops (every crossing edge has
+                // exactly two face links), orient, fan-triangulate
+                bool used[12] = {false};
+                for (int e0 = 0; e0 < 12; ++e0) {
+                    if (evert[e0] < 0 || used[e0] || deg[e0] != 2) continue;
+                    int loop[12], n = 0;
+                    int prev = -1, cur = e0;
+                    while (true) {
+                        loop[n++] = cur;
+                        used[cur] = true;
+                        int nxt = adj[cur][0] == prev ? adj[cur][1] : adj[cur][0];
+                        prev = cur;
+                        cur = nxt;
+                        if (cur == e0 || used[cur] || n >= 12) break;
+                    }
+                    if (n < 3) continue;
+
+                    // Newell normal of the loop
+                    float nxl = 0.f, nyl = 0.f, nzl = 0.f;
+                    for (int m = 0; m < n; ++m) {
+                        const float* pa = &st.verts[3 * evert[loop[m]]];
+                        const float* pb = &st.verts[3 * evert[loop[(m + 1) % n]]];
+                        nxl += (pa[1] - pb[1]) * (pa[2] + pb[2]);
+                        nyl += (pa[2] - pb[2]) * (pa[0] + pb[0]);
+                        nzl += (pa[0] - pb[0]) * (pa[1] + pb[1]);
+                    }
+                    // outward direction: every loop vertex sits on a cube
+                    // edge with one inside and one outside corner; the
+                    // inside->outside direction of that edge is a local
+                    // gradient proxy. Sum them over the loop.
+                    float dx = 0.f, dy = 0.f, dz = 0.f;
+                    for (int m = 0; m < n; ++m) {
+                        int a = CEDGE[loop[m]][0], b = CEDGE[loop[m]][1];
+                        if (inside[b]) { int t = a; a = b; b = t; }
+                        dx += CORNER[b][0] - CORNER[a][0];
+                        dy += CORNER[b][1] - CORNER[a][1];
+                        dz += CORNER[b][2] - CORNER[a][2];
+                    }
+                    bool flip = nxl * dx + nyl * dy + nzl * dz < 0.f;
+                    // Fan apex must not lie on an ambiguous (4-crossing)
+                    // face: an apex whose edge borders such a face can form
+                    // a fan chord lying IN that face plane, and the
+                    // neighboring cube then emits the coincident opposite
+                    // triangle — a non-manifold zero-volume fin. A 2-crossing
+                    // face can never contain a third loop vertex, so any
+                    // apex off all ambiguous faces is safe; if none exists,
+                    // triangulate from the loop centroid (strictly interior
+                    // to this cube, so it cannot coincide across cubes).
+                    int apex = -1;
+                    if (n == 3) {
+                        apex = 0;  // single triangle, always safe
+                    } else {
+                        for (int m = 0; m < n; ++m)
+                            if (!on_amb_face[loop[m]]) { apex = m; break; }
+                    }
+                    if (apex >= 0) {
+                        for (int m = 1; m + 1 < n; ++m) {
+                            int ia = (apex + (flip ? m + 1 : m)) % n;
+                            int ib = (apex + (flip ? m : m + 1)) % n;
+                            st.faces.push_back(evert[loop[apex]]);
+                            st.faces.push_back(evert[loop[ia]]);
+                            st.faces.push_back(evert[loop[ib]]);
+                        }
+                    } else {
+                        float cx = 0.f, cy = 0.f, cz = 0.f;
+                        for (int m = 0; m < n; ++m) {
+                            const float* p = &st.verts[3 * evert[loop[m]]];
+                            cx += p[0]; cy += p[1]; cz += p[2];
+                        }
+                        int32_t cidx = (int32_t)(st.verts.size() / 3);
+                        st.verts.push_back(cx / n);
+                        st.verts.push_back(cy / n);
+                        st.verts.push_back(cz / n);
+                        for (int m = 0; m < n; ++m) {
+                            int ia = flip ? (m + 1) % n : m;
+                            int ib = flip ? m : (m + 1) % n;
+                            st.faces.push_back(cidx);
+                            st.faces.push_back(evert[loop[ia]]);
+                            st.faces.push_back(evert[loop[ib]]);
+                        }
+                    }
+                }
+            }
+        }
+    }
+
+    return mc_finalize(st, out_verts, n_verts, out_faces, n_faces);
+}
 
 // ---------------------------------------------------------------------------
 // DBSCAN (grid-hash neighborhoods, BFS expansion)

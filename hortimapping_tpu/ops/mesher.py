@@ -55,11 +55,22 @@ class MeshExtractor:
         voxels_dim: int = 64,
         cube_radius: float = 1.0,
         use_pallas: bool | None = None,
+        method: str = "mt",
     ):
+        """`method`: "mt" (marching tetrahedra, default) or "mc" (classic
+        cube-cell marching cubes — the reference's skimage-MC cell structure,
+        `utils.py:576-578`). Same welded grid-edge vertices either way; MC
+        emits ~2x fewer triangles (no 6-tet subdivision) with outward-
+        oriented winding."""
+        if method not in ("mt", "mc"):
+            raise ValueError(f"unknown iso-surface method {method!r}")
         self.params = params
         self.spec = spec
         self.voxels_dim = voxels_dim
         self.cube_radius = cube_radius
+        self._iso_surface = (
+            native.marching_cubes if method == "mc" else native.marching_tetrahedra
+        )
         self.voxel_points = jnp.asarray(create_voxel_grid(voxels_dim)) * cube_radius
 
         from hortimapping_tpu.ops import pallas_mlp
@@ -143,7 +154,7 @@ class MeshExtractor:
 
     def _grid_to_mesh(self, grid: np.ndarray) -> TriangleMesh:
         voxel_size = 2.0 / (self.voxels_dim - 1)
-        verts, faces = native.marching_tetrahedra(grid, iso=0.0, spacing=voxel_size)
+        verts, faces = self._iso_surface(grid, iso=0.0, spacing=voxel_size)
         # voxel-index space -> [-1,1] cube -> object frame (utils.py:579-586)
         verts = (verts - 1.0) * self.cube_radius
         return TriangleMesh(verts.astype(np.float32), faces.astype(np.int32))

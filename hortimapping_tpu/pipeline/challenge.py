@@ -165,7 +165,8 @@ def run_challenge(cfg: Dict, log=print) -> Dict:
     t_total = get_time() - t0
 
     # ---------------- phase 3: meshing, metrics, summary ----------------
-    mesher = MeshExtractor(params, spec, voxels_dim, object_radius_max_m)
+    mesher = MeshExtractor(params, spec, voxels_dim, object_radius_max_m,
+                           method=cfg["vis"].get("iso_method", "mt"))
     meshes = mesher.complete_mesh_batch(
         jnp.asarray(latents), [np.linalg.inv(T) for T in T_ows]
     )

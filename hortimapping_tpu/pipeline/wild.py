@@ -230,7 +230,8 @@ def run_wild_completion(cfg: Dict, log=print) -> List[FruitResult]:
             score_bf16=opt_cfg.retrieval_score_bf16,
         )
     n_dev = len(jax.devices())
-    mesher = MeshExtractor(params, spec, voxels_dim, object_radius_max_m)
+    mesher = MeshExtractor(params, spec, voxels_dim, object_radius_max_m,
+                           method=cfg["vis"].get("iso_method", "mt"))
     interactive = getattr(vis, "interactive", False)
     with trace_if_enabled("wild_joint_opt"):
         if interactive:

@@ -59,6 +59,110 @@ def test_marching_tetrahedra_native_numpy_agree():
     )
 
 
+@pytest.mark.parametrize("impl", ["native", "numpy"])
+def test_marching_cubes_sphere(impl):
+    """Classic-MC mode (the reference meshes with skimage MC,
+    `wild_completion/utils.py:576-578`): correct geometry, watertight,
+    outward winding, ~2-3x fewer triangles than the 6-tet decomposition."""
+    dim, radius = 48, 0.6
+    grid = _sphere_grid(dim, radius)
+    spacing = 2.0 / (dim - 1)
+    fn = native.marching_cubes if impl == "native" else native._marching_cubes_numpy
+    verts, faces = fn(grid, 0.0, spacing)
+    assert verts.shape[0] > 500 and faces.shape[0] > 500
+    center = np.array([1.0, 1.0, 1.0])
+    r = np.linalg.norm(verts - center, axis=1)
+    assert np.abs(r - radius).max() < spacing
+    assert np.abs(r - radius).mean() < 0.2 * spacing
+    # watertight: every edge shared by exactly two faces
+    edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+    edges = np.sort(edges, axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).all()
+    # outward-consistent winding: signed volume equals the sphere volume
+    vol = np.einsum(
+        "ij,ij->i", verts[faces[:, 0]],
+        np.cross(verts[faces[:, 1]], verts[faces[:, 2]])).sum() / 6.0
+    assert abs(vol - 4 / 3 * np.pi * radius**3) < 0.02
+    # cube cells, not 6-tet subdivision: far fewer triangles than MT
+    _, faces_mt = native.marching_tetrahedra(grid, 0.0, spacing)
+    assert faces.shape[0] < 0.6 * faces_mt.shape[0]
+
+
+def test_marching_cubes_native_numpy_agree():
+    """The numpy mirror is the C++ kernel's test oracle — identical weld
+    order, pairing decisions, and triangulation."""
+
+    def canon(f):
+        rolled = (np.stack([np.roll(t, -np.argmin(t)) for t in f])
+                  if len(f) else f)
+        return sorted(map(tuple, rolled.tolist()))
+
+    grid = _sphere_grid(14, 0.55)
+    v1, f1 = native.marching_cubes(grid, 0.0, 1.0)
+    v2, f2 = native._marching_cubes_numpy(grid, 0.0, 1.0)
+    assert v1.shape == v2.shape and f1.shape == f2.shape
+    np.testing.assert_allclose(v1, v2, atol=1e-5)
+    assert canon(f1) == canon(f2)
+
+
+def test_marching_cubes_ambiguous_faces_manifold():
+    """Random grids hit every ambiguous (4-crossing) face configuration.
+    Regression for the fan-apex fin bug: a fan chord lying in a shared
+    4-crossing face made both adjacent cubes emit coincident opposite
+    triangles (interior edges shared by 4 faces). Interior edges must be
+    shared by exactly 2 faces; open edges may only lie on the domain
+    boundary."""
+    rng = np.random.default_rng(0)
+    n = 6
+    for trial in range(20):
+        grid = rng.normal(size=(n, n, n)).astype(np.float32)
+        verts, faces = native.marching_cubes(grid, 0.0, 1.0)
+        edges = np.concatenate(
+            [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+        edges = np.sort(edges, axis=1)
+        uniq, counts = np.unique(edges, axis=0, return_counts=True)
+        assert not (counts > 2).any(), f"trial {trial}: non-manifold edges"
+        on_boundary = lambda p: bool(
+            np.any(np.isclose(p, 0.0)) or np.any(np.isclose(p, n - 1.0)))
+        for ed in uniq[counts == 1]:
+            assert on_boundary(verts[ed[0]]) and on_boundary(verts[ed[1]]), (
+                f"trial {trial}: interior open edge {ed}")
+
+
+def test_marching_cubes_verts_subset_of_mt():
+    """MC and MT weld through the same grid-edge interpolation; MC only uses
+    cube edges (MT adds face/body diagonals), so MC's vertex set is a subset
+    of MT's wherever no centroid fallback fires (smooth SDF grids)."""
+    grid = _sphere_grid(20, 0.6)
+    v_mc, _ = native.marching_cubes(grid, 0.0, 1.0)
+    v_mt, _ = native.marching_tetrahedra(grid, 0.0, 1.0)
+    mt_set = set(map(tuple, v_mt.round(4).tolist()))
+    assert all(tuple(p) in mt_set for p in v_mc.round(4).tolist())
+
+
+def test_mesh_extractor_mc_method(small_spec):
+    """`method="mc"` plumbs through the extractor and reproduces the same
+    analytic sphere as the default MT path."""
+    import jax.numpy as jnp
+
+    for method in ("mt", "mc"):
+        ext = MeshExtractor.__new__(MeshExtractor)
+        ext.voxels_dim = 40
+        ext.cube_radius = 0.08
+        ext.voxel_points = jnp.asarray(create_voxel_grid(40)) * 0.08
+        ext._iso_surface = (native.marching_cubes if method == "mc"
+                            else native.marching_tetrahedra)
+        radius = 0.05
+        ext._decode_grid = (
+            lambda latent: jnp.linalg.norm(ext.voxel_points, axis=-1) - radius)
+        mesh = ext.extract_mesh_from_code(jnp.zeros(4))
+        r = np.linalg.norm(mesh.vertices, axis=1)
+        assert np.abs(r - radius).max() < 0.08 * 2.0 / 39
+    with pytest.raises(ValueError):
+        MeshExtractor(None, None, method="nope")
+
+
 def test_dbscan_two_clusters():
     rng = np.random.default_rng(0)
     a = rng.normal(size=(200, 3)) * 0.01
@@ -111,6 +215,7 @@ def test_mesh_extractor_sphere_decoder(small_spec):
     ext.voxels_dim = 40
     ext.cube_radius = 0.08
     ext.voxel_points = jnp.asarray(create_voxel_grid(40)) * 0.08
+    ext._iso_surface = native.marching_tetrahedra
     radius = 0.05
     ext._decode_grid = lambda latent: jnp.linalg.norm(ext.voxel_points, axis=-1) - radius
     mesh = ext.extract_mesh_from_code(jnp.zeros(4))
