@@ -678,9 +678,10 @@ def coarse_to_fine_joint_opt(
     axes than the single-phase solve — ~22 vs 208 ms/fruit at mean Chamfer
     0.527 vs 0.634 mm, held-out validated (docs/PERF.md; schedules are
     per-workload: the small pose_known challenge config is WORSE under
-    c2f and keeps the single-phase default). Per-fruit iteration counts
-    report the FINE phase only (comparable to the reference's counts in
-    quality terms, not billed-work terms).
+    c2f and keeps the single-phase default). Per-fruit `iter_count` bills
+    BOTH phases (coarse + fine), so pipeline `mean iters` summaries are
+    work-comparable to the reference's per-fruit counts; note a coarse
+    iteration costs ~1/8-1/16 of a full-resolution one.
 
     Jitted as ONE program: the nested phase calls inline, so both
     while_loops run back-to-back on device in a single dispatch — on a
@@ -707,9 +708,10 @@ def coarse_to_fine_joint_opt(
     ff = r_a.failed.astype(jnp.float32)[:, None]
     lat1 = (1.0 - ff) * r_a.latent + ff * latent0
     T1 = (1.0 - ff[..., None]) * r_a.T_ow + ff[..., None] * T_ow0
-    return shape_pose_joint_opt_batched(
+    r_b = shape_pose_joint_opt_batched(
         params, spec, fine_cfg, obs, lat1, T1, cube_radius, pose_known,
     )
+    return r_b._replace(iter_count=r_a.iter_count + r_b.iter_count)
 
 
 def pack_result(res: OptResult) -> jnp.ndarray:

@@ -48,7 +48,7 @@ def main(variants) -> None:
         coarse_ray_frac=0.3, coarse_sample_frac=0.35, coarse_pts_frac=0.3,
         coarse_max_iter=25,
     )
-    named = {"parity": cfg, "c2f": c2f,
+    named = {"parity": cfg, "c2f": c2f, "retr_c2f": c2f,
              "tr": dataclasses.replace(cfg, trust_region=True)}
 
     cat = SyntheticCategory(spec=spec, base_radius=0.06)
@@ -63,15 +63,31 @@ def main(variants) -> None:
     lat0 = jnp.zeros((1, spec.code_length), jnp.float32)
     T0 = jnp.asarray(np.linalg.inv(T_wo)[None].astype(np.float32))
 
+    from functools import partial
+
+    from hortimapping_tpu.models.workspace import load_latent_vectors
+    from hortimapping_tpu.optim.lm import pack_result
+    from hortimapping_tpu.optim.warmstart import retrieval_joint_opt
+
+    table = load_latent_vectors(os.path.join(root, "assets", "synthetic_pepper_32"))
+
     for name in variants:
         c = named[name]
-        _, packed = joint_opt_packed(params, spec, c, obs1, lat0, T0, 0.08)
-        np.asarray(packed)  # warmup + sync
+        if name.startswith("retr_"):
+            # retrieval warm start + solve + pack, still ONE program
+            @partial(jax.jit, static_argnames=())
+            def solve(obs1=obs1, T0=T0, c=c):
+                return pack_result(retrieval_joint_opt(
+                    params, spec, c, table, obs1, T0, 0.08,
+                    n_score_pts=128, n_scales=3, score_bf16=True))
+        else:
+            def solve(obs1=obs1, lat0=lat0, T0=T0, c=c):
+                return joint_opt_packed(params, spec, c, obs1, lat0, T0, 0.08)[1]
+        np.asarray(solve())  # warmup + sync
         lats = []
         for _ in range(REPS):
             t0 = time.perf_counter()
-            _, packed = joint_opt_packed(params, spec, c, obs1, lat0, T0, 0.08)
-            out = np.asarray(packed)  # the fetch IS part of robot latency
+            out = np.asarray(solve())  # the fetch IS part of robot latency
             lats.append(time.perf_counter() - t0)
         assert out.shape[0] == 1
         lats = np.sort(lats) * 1e3

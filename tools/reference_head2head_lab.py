@@ -96,9 +96,24 @@ def main() -> None:
     ap.add_argument("--n-fruits", type=int, default=4)
     ap.add_argument("--n-frames", type=int, default=6)
     ap.add_argument("--seed", type=int, default=23)
+    ap.add_argument("--multi", action="store_true",
+                    help="multi-frame mode (integrated map / submap input, "
+                         "all sampled frames feed one render term)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run ours on CPU (exact f32, torch threads pinned) — "
+                         "the pinned comparison environment; on TPU the bf16 "
+                         "matmul passes shift the basin-unstable lab workload")
     args = ap.parse_args()
 
     import torch
+
+    if args.cpu:
+        import jax
+
+        # the axon sitecustomize force-sets jax_platforms at interpreter
+        # start; the config update (not the env var) is what wins
+        jax.config.update("jax_platforms", "cpu")
+        torch.set_num_threads(1)
 
     import jax
     import jax.numpy as jnp
@@ -130,9 +145,9 @@ def main() -> None:
             make_lab_dataset(data_dir, deepsdf_dir, n_fruits=args.n_fruits,
                              n_frames=args.n_frames, seed=args.seed)
         cfg = _lab_cfg(data_dir, deepsdf_dir)
-        run_eval = lambda: run_lab_eval(cfg, multi_frame=False,
+        run_eval = lambda: run_lab_eval(cfg, multi_frame=args.multi,
                                         log=lambda *a: None)
-        prep = lambda oc: prepare_lab_instances(cfg, oc, multi_frame=False)
+        prep = lambda oc: prepare_lab_instances(cfg, oc, multi_frame=args.multi)
     else:
         from hortimapping_tpu.pipeline.greenhouse import (
             prepare_greenhouse_instances, run_greenhouse_eval)
@@ -144,17 +159,18 @@ def main() -> None:
                                     n_fruits=args.n_fruits,
                                     n_frames=args.n_frames, seed=args.seed)
         cfg = _gh_cfg(data_dir, deepsdf_dir)
-        run_eval = lambda: run_greenhouse_eval(cfg, multi_frame=False,
+        run_eval = lambda: run_greenhouse_eval(cfg, multi_frame=args.multi,
                                                log=lambda *a: None)
         prep = lambda oc: prepare_greenhouse_instances(cfg, oc,
-                                                       multi_frame=False)
+                                                       multi_frame=args.multi)
 
     opt_cfg = JointOptConfig.from_dict(cfg)
     radius = float(cfg["vis"]["object_radius_max_m"])
     voxels_dim = int(2 * radius * 1e3 / float(cfg["vis"]["mc_res_mm"]))
 
+    mode = "multi-frame" if args.multi else "single-frame"
     # ---------------- ours ----------------
-    print(f"== ours (pipeline/{args.family}, single-frame) ==")
+    print(f"== ours (pipeline/{args.family}, {mode}) ==")
     summary_ours = run_eval()
     print(f"ours: CD {summary_ours['CD[mm]']:.4f} mm  "
           f"F1 {summary_ours['F-score[%]']:.2f}%  "
