@@ -145,6 +145,35 @@ def retrieval_init_batched(
     return jax.vmap(per_fruit)(points_w, point_valid, T_init)
 
 
+def maybe_retrieval_init(
+    params: Params,
+    spec: DecoderSpec,
+    opt_cfg: JointOptConfig,
+    latent_table: jnp.ndarray,   # [N, C] trained codes
+    obs: FruitObservations,      # leading fruit axis
+    latent0: jnp.ndarray,        # [B, C] fallback (table-mean) init
+    T_ow0: jnp.ndarray,          # [B, 4, 4] pose init
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pipeline-facing init dispatch: with `opt.tpu.init_mode: retrieval`
+    the per-fruit (code, scale) start replaces the reference's table-mean
+    init (`test_wild_completion.py:46-47`); otherwise the inputs pass
+    through unchanged. One call site per pipeline keeps the config knobs
+    (`retrieval_*`) wired identically everywhere."""
+    if opt_cfg.init_mode != "retrieval":
+        return latent0, T_ow0
+    lat, T, _, _ = retrieval_init_batched(
+        params, spec, latent_table, obs.points_w, obs.point_valid,
+        top_k=opt_cfg.retrieval_top_k,
+        n_score_pts=opt_cfg.retrieval_score_pts,
+        n_scales=opt_cfg.retrieval_n_scales,
+        scale_min=opt_cfg.retrieval_scale_min,
+        scale_max=opt_cfg.retrieval_scale_max,
+        T_init=T_ow0,
+        score_bf16=opt_cfg.retrieval_score_bf16,
+    )
+    return lat, T
+
+
 @partial(jax.jit, static_argnames=("spec", "cfg", "cube_radius", "pose_known",
                                    "top_k", "n_score_pts", "n_scales",
                                    "scale_min", "scale_max", "score_bf16"))

@@ -200,6 +200,10 @@ def run_lab_eval(cfg: Dict, multi_frame: bool, log=print) -> Dict:
     lat0 = jnp.tile(jnp.asarray(init_latent)[None, :], (B, 1))
     T0 = jnp.asarray(np.stack([lab_T_ow0(p["center"]) for p in prepared]))
     obs_b = stack_observations([p["obs"] for p in prepared])
+    from hortimapping_tpu.optim.warmstart import maybe_retrieval_init
+
+    lat0, T0 = maybe_retrieval_init(
+        params, spec, opt_cfg, jnp.asarray(latents_train), obs_b, lat0, T0)
 
     t0 = get_time()
     if deepsdf_baseline:

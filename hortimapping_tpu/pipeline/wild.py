@@ -212,23 +212,13 @@ def run_wild_completion(cfg: Dict, log=print) -> List[FruitResult]:
     obs_b = stack_observations([p[2] for p in prepared])
     lat0 = jnp.tile(jnp.asarray(init_latent)[None, :], (len(prepared), 1))
     T0 = jnp.stack([jnp.asarray(p[3], jnp.float32) for p in prepared])
-    if opt_cfg.init_mode == "retrieval":
-        # per-fruit (code, scale) start from the trained latent table,
-        # scored in the pose-init object frame (optim/warmstart.py; the
-        # reference always starts from the table mean)
-        from hortimapping_tpu.optim.warmstart import retrieval_init_batched
+    # per-fruit (code, scale) start from the trained latent table when
+    # `opt.tpu.init_mode: retrieval` (optim/warmstart.py; the reference
+    # always starts from the table mean)
+    from hortimapping_tpu.optim.warmstart import maybe_retrieval_init
 
-        lat0, T0, _, _ = retrieval_init_batched(
-            params, spec, jnp.asarray(latents_train),
-            obs_b.points_w, obs_b.point_valid,
-            top_k=opt_cfg.retrieval_top_k,
-            n_score_pts=opt_cfg.retrieval_score_pts,
-            n_scales=opt_cfg.retrieval_n_scales,
-            scale_min=opt_cfg.retrieval_scale_min,
-            scale_max=opt_cfg.retrieval_scale_max,
-            T_init=T0,
-            score_bf16=opt_cfg.retrieval_score_bf16,
-        )
+    lat0, T0 = maybe_retrieval_init(
+        params, spec, opt_cfg, jnp.asarray(latents_train), obs_b, lat0, T0)
     n_dev = len(jax.devices())
     mesher = MeshExtractor(params, spec, voxels_dim, object_radius_max_m,
                            method=cfg["vis"].get("iso_method", "mt"))

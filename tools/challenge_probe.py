@@ -36,8 +36,10 @@ N_FRAMES = int(os.environ.get("N_FRAMES", "5"))
 def variant_tpu_block(name: str) -> tuple:
     """-> (opt.tpu dict, max_iter override or None).
 
-    Variant grammar: base[_tr][_itN]; base = mean | retrieval |
-    retrieval_msK."""
+    Variant grammar: base[_s1][_tr][_itN]; base = mean | retrieval |
+    retrieval_msK. `_s1` scores the retrieval at unit scale only — for
+    SE(3) workloads (lab) where an init-scale offset could never be
+    optimized away."""
     tpu: dict = {}
     max_iter = None
     base = name
@@ -46,6 +48,11 @@ def variant_tpu_block(name: str) -> tuple:
         max_iter = int(it)
     if base.endswith("_tr"):
         tpu["trust_region"] = True
+        base = base[:-3]
+    if base.endswith("_s1"):
+        tpu["retrieval_n_scales"] = 1
+        tpu["retrieval_scale_min"] = 1.0
+        tpu["retrieval_scale_max"] = 1.0
         base = base[:-3]
     if base == "mean":
         pass
