@@ -49,15 +49,35 @@ def _brute_force_max_pairs() -> int:
 
 @partial(jax.jit, static_argnames=("tile",))
 def _nn_min_dists(a: jnp.ndarray, b: jnp.ndarray, tile: int = _TILE) -> jnp.ndarray:
-    """min_j ||a_i - b_j|| for every i; a is padded to a tile multiple."""
+    """min_j ||a_i - b_j|| for every i; a is padded to a tile multiple.
+
+    The |a|^2 + |b|^2 - 2 a.b expansion cancels catastrophically when the
+    squared norms dwarf the true squared distances, so two guards keep it
+    exact-in-f32: both clouds are recentered on b's centroid (a world-frame
+    fruit at ~0.6 m with sub-mm NN distances loses EVERY significant bit
+    otherwise — and the min_j then selects the most-negative noise, clamped
+    to 0, reading ~0.4 mm where the truth is ~5 mm), and the matmul runs at
+    Precision.HIGHEST because the TPU default is bf16 (8-bit mantissa:
+    same cancellation at any offset). The expansion is then used only to
+    SELECT the neighbor (argmin); the returned distance is recomputed as a
+    direct ||a_i - b_j*|| difference, which is cancellation-free (and
+    exactly 0 for identical points). Residual matmul noise can only flip
+    the argmin between candidates whose true distances differ by less than
+    that noise, so the selection error is bounded by it too."""
     n = a.shape[0]
+    c = jnp.mean(b, axis=0)
+    a = a - c
+    b = b - c
     pad = (-n) % tile
     a_p = jnp.pad(a, ((0, pad), (0, 0)))
     b_sq = jnp.sum(b * b, axis=1)
 
     def one_tile(at):
-        d2 = jnp.sum(at * at, axis=1)[:, None] + b_sq[None, :] - 2.0 * (at @ b.T)
-        return jnp.min(jnp.maximum(d2, 0.0), axis=1)
+        ab = jnp.dot(at, b.T, precision=jax.lax.Precision.HIGHEST)
+        d2 = jnp.sum(at * at, axis=1)[:, None] + b_sq[None, :] - 2.0 * ab
+        j = jnp.argmin(d2, axis=1)
+        diff = at - b[j]
+        return jnp.sum(diff * diff, axis=1)
 
     d2 = jax.lax.map(one_tile, a_p.reshape(-1, tile, 3)).reshape(-1)
     return jnp.sqrt(d2[:n])

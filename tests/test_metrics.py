@@ -20,6 +20,24 @@ def test_nn_distances_tpu_exact(rng):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
 
 
+def test_nn_distances_tpu_far_from_origin(rng):
+    """Sub-mm NN distances on a world-frame cloud far from the origin.
+
+    The |a|^2+|b|^2-2ab expansion cancels catastrophically when the squared
+    norms dwarf the true distances; without recentering on b's centroid the
+    f32 path is ~cm-wrong at offset 100 (and the TPU bf16-matmul default
+    was ~10x-wrong even at offset 0.6 — the greenhouse world frame, where
+    a true 5 mm Chamfer read 0.4 mm)."""
+    offset = np.array([100.0, -55.0, 73.0], np.float32)
+    a = (rng.normal(size=(800, 3)) * 0.05 + offset).astype(np.float32)
+    b = (a[rng.permutation(800)] + rng.normal(size=(800, 3)) * 5e-4).astype(
+        np.float32)
+    got = nn_distances_tpu(a, b)
+    want = _ref_nn(a, b)
+    assert want.mean() < 2e-3  # the scenario: sub-mm truth, huge norms
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-6)
+
+
 def test_chamfer_matches_reference_formula(rng):
     cd = ChamferDistance()
     insts = []
