@@ -367,7 +367,11 @@ def lm_iteration_tr(
     # one boundary iteration: a spurious "improvement" from reweighting must
     # not shrink the damping.
     crossed = (i == cfg.robust_iter) if cfg.robust_iter > 0 else jnp.asarray(False)
-    accept = (cost <= ts.cost) | crossed  # inf at i=0: first step always accepts
+    # the crossed-boundary auto-accept must never force a NON-FINITE trial
+    # state in (an overflowed step at i == robust_iter-1 would then poison
+    # H_acc/b_acc with NaNs the lane can never roll back from)
+    accept = (cost <= ts.cost) | (crossed & jnp.isfinite(cost))
+    # inf at i=0: first step always accepts (finite cost <= inf)
     # jnp.where, NOT an arithmetic blend: a NaN trial state (overflowed
     # assembly after a wild step) must roll back cleanly — 0 * NaN would
     # poison the stored accepted state and the lane could never recover
@@ -386,8 +390,11 @@ def lm_iteration_tr(
         jnp.minimum(ts.lam * ts.nu, cfg.tr_lambda_max),
     )
     nu = jnp.where(accept, 2.0, jnp.minimum(ts.nu * 2.0, 128.0))
-    lam = jnp.where(crossed, ts.lam, lam)
-    nu = jnp.where(crossed, ts.nu, nu)
+    # hold the damping only for an ACCEPTED boundary step (the reweighting
+    # "improvement" is not a real gain); a rejected one (non-finite trial)
+    # keeps the normal lambda-growth so the retry takes a smaller step
+    lam = jnp.where(crossed & accept, ts.lam, lam)
+    nu = jnp.where(crossed & accept, ts.nu, nu)
 
     with jax.named_scope("solve_update"):
         Hd = apply_lm_damping(H_use, cfg, lam)

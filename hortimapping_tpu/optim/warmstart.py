@@ -174,6 +174,51 @@ def maybe_retrieval_init(
     return lat, T
 
 
+def warmstart_solve(
+    params: Params,
+    spec: DecoderSpec,
+    opt_cfg: JointOptConfig,
+    latent_table: jnp.ndarray,   # [N, C] trained codes
+    obs: FruitObservations,      # leading fruit axis
+    latent0: jnp.ndarray,        # [B, C] fallback (table-mean) init
+    T_ow0: jnp.ndarray,          # [B, 4, 4] pose init
+    cube_radius: float,
+    pose_known: bool = False,
+) -> OptResult:
+    """Init dispatch + solve for every posed batched pipeline: retrieval
+    warm start (`opt.tpu.init_mode: retrieval`), optional multi-start over
+    the top-K retrieved codes (`opt.tpu.multi_start > 1`), then the
+    configured solver (`solve_in_chunks` routes coarse-to-fine /
+    trust-region per config). One shared call site keeps the knobs wired
+    identically in challenge/lab/greenhouse/wild — a knob only honored by
+    one pipeline would make cross-family probe comparisons silently
+    meaningless."""
+    from hortimapping_tpu.optim.lm import solve_in_chunks
+
+    top_codes = top_T = None
+    if opt_cfg.init_mode == "retrieval":
+        latent0, T_ow0, top_codes, top_T = retrieval_init_batched(
+            params, spec, latent_table, obs.points_w, obs.point_valid,
+            top_k=opt_cfg.retrieval_top_k,
+            n_score_pts=opt_cfg.retrieval_score_pts,
+            n_scales=opt_cfg.retrieval_n_scales,
+            scale_min=opt_cfg.retrieval_scale_min,
+            scale_max=opt_cfg.retrieval_scale_max,
+            T_init=T_ow0,
+            score_bf16=opt_cfg.retrieval_score_bf16,
+        )
+    if top_codes is not None and opt_cfg.multi_start > 1:
+        K = min(opt_cfg.multi_start, opt_cfg.retrieval_top_k)
+        return multi_start_joint_opt(
+            params, spec, opt_cfg, obs, top_codes[:, :K], top_T[:, :K],
+            cube_radius, pose_known=pose_known,
+        )
+    return solve_in_chunks(
+        params, spec, opt_cfg, obs, latent0, T_ow0, cube_radius,
+        pose_known=pose_known,
+    )
+
+
 @partial(jax.jit, static_argnames=("spec", "cfg", "cube_radius", "pose_known",
                                    "top_k", "n_score_pts", "n_scales",
                                    "scale_min", "scale_max", "score_bf16"))

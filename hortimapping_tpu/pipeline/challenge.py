@@ -28,7 +28,7 @@ from hortimapping_tpu.data.rays import get_render_data, render_data_to_observati
 from hortimapping_tpu.metrics import ChamferDistance, PrecisionRecall
 from hortimapping_tpu.models.workspace import config_decoder, load_latent_vectors
 from hortimapping_tpu.ops.mesher import MeshExtractor
-from hortimapping_tpu.optim.lm import shape_opt_deepsdf_batched, solve_in_chunks
+from hortimapping_tpu.optim.lm import shape_opt_deepsdf_batched
 from hortimapping_tpu.utils.misc import get_time, set_random_seed, wandb_log_summary
 
 
@@ -127,37 +127,15 @@ def run_challenge(cfg: Dict, log=print) -> Dict:
         failed = np.zeros(B, bool)
     else:
         obs_b = stack_observations([p[1] for p in prepared])
-        top_codes = top_T = None
-        if opt_cfg.init_mode == "retrieval":
-            # score the trained latent table against each observed cloud and
-            # start from the best (code, scale) instead of the category mean
-            # (optim/warmstart.py; reference always uses the mean,
-            # `run_shape_completion_challenge.py:74-77`)
-            from hortimapping_tpu.optim.warmstart import retrieval_init_batched
+        # retrieval warm start + optional multi-start + configured solver
+        # (optim/warmstart.warmstart_solve; the reference always starts from
+        # the table mean, `run_shape_completion_challenge.py:74-77`)
+        from hortimapping_tpu.optim.warmstart import warmstart_solve
 
-            lat0, T0, top_codes, top_T = retrieval_init_batched(
-                params, spec, jnp.asarray(latents_train),
-                obs_b.points_w, obs_b.point_valid,
-                top_k=opt_cfg.retrieval_top_k,
-                n_score_pts=opt_cfg.retrieval_score_pts,
-                n_scales=opt_cfg.retrieval_n_scales,
-                scale_min=opt_cfg.retrieval_scale_min,
-                scale_max=opt_cfg.retrieval_scale_max,
-                score_bf16=opt_cfg.retrieval_score_bf16,
-            )
-        if top_codes is not None and opt_cfg.multi_start > 1:
-            from hortimapping_tpu.optim.warmstart import multi_start_joint_opt
-
-            K = min(opt_cfg.multi_start, opt_cfg.retrieval_top_k)
-            res = multi_start_joint_opt(
-                params, spec, opt_cfg, obs_b, top_codes[:, :K], top_T[:, :K],
-                object_radius_max_m, pose_known=True,
-            )
-        else:
-            res = solve_in_chunks(
-                params, spec, opt_cfg, obs_b, lat0, T0, object_radius_max_m,
-                pose_known=True,
-            )
+        res = warmstart_solve(
+            params, spec, opt_cfg, jnp.asarray(latents_train), obs_b,
+            lat0, T0, object_radius_max_m, pose_known=True,
+        )
         latents = np.asarray(res.latent)
         T_ows = np.asarray(res.T_ow)
         iters = np.asarray(res.iter_count)

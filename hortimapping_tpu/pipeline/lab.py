@@ -38,7 +38,7 @@ from hortimapping_tpu.data.rgbd import backproject
 from hortimapping_tpu.metrics import ChamferDistance, PrecisionRecall
 from hortimapping_tpu.models.workspace import config_decoder, load_latent_vectors
 from hortimapping_tpu.ops.mesher import MeshExtractor
-from hortimapping_tpu.optim.lm import shape_opt_deepsdf_batched, solve_in_chunks
+from hortimapping_tpu.optim.lm import shape_opt_deepsdf_batched
 from hortimapping_tpu.utils.misc import get_time, set_random_seed, wandb_log_summary
 
 # fixed camera extrinsic of the single-frame setup (`eval_lab_single_frame.py:141`)
@@ -200,21 +200,23 @@ def run_lab_eval(cfg: Dict, multi_frame: bool, log=print) -> Dict:
     lat0 = jnp.tile(jnp.asarray(init_latent)[None, :], (B, 1))
     T0 = jnp.asarray(np.stack([lab_T_ow0(p["center"]) for p in prepared]))
     obs_b = stack_observations([p["obs"] for p in prepared])
-    from hortimapping_tpu.optim.warmstart import maybe_retrieval_init
-
-    lat0, T0 = maybe_retrieval_init(
-        params, spec, opt_cfg, jnp.asarray(latents_train), obs_b, lat0, T0)
 
     t0 = get_time()
     if deepsdf_baseline:
+        # the baseline keeps the reference's table-mean init and fixed pose:
+        # a retrieval warm start here would report non-baseline numbers
+        # under the baseline's name
         lat_b, it_b = shape_opt_deepsdf_batched(
             params, spec, opt_cfg, obs_b.points_w, obs_b.point_valid, lat0
         )
         latents, T_ows = np.asarray(lat_b), np.asarray(T0)
         iters = np.asarray(it_b)
     else:
-        res = solve_in_chunks(
-            params, spec, opt_cfg, obs_b, lat0, T0, object_radius_max_m
+        from hortimapping_tpu.optim.warmstart import warmstart_solve
+
+        res = warmstart_solve(
+            params, spec, opt_cfg, jnp.asarray(latents_train), obs_b,
+            lat0, T0, object_radius_max_m,
         )
         latents, T_ows = np.asarray(res.latent), np.asarray(res.T_ow)
         iters = np.asarray(res.iter_count)

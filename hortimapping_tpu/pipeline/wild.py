@@ -28,7 +28,7 @@ from hortimapping_tpu.data.preprocess import build_T_wo, clean_mesh, get_pose_in
 from hortimapping_tpu.data.rays import get_render_data, render_data_to_observations, stack_observations
 from hortimapping_tpu.models.workspace import config_decoder, load_latent_vectors
 from hortimapping_tpu.ops.mesher import MeshExtractor
-from hortimapping_tpu.optim.lm import solve_in_chunks
+
 from hortimapping_tpu.utils.misc import set_random_seed, trace_if_enabled
 from hortimapping_tpu.vis import color_table, make_visualizer
 
@@ -214,16 +214,23 @@ def run_wild_completion(cfg: Dict, log=print) -> List[FruitResult]:
     T0 = jnp.stack([jnp.asarray(p[3], jnp.float32) for p in prepared])
     # per-fruit (code, scale) start from the trained latent table when
     # `opt.tpu.init_mode: retrieval` (optim/warmstart.py; the reference
-    # always starts from the table mean)
-    from hortimapping_tpu.optim.warmstart import maybe_retrieval_init
+    # always starts from the table mean). The default batched branch gets
+    # the full init dispatch (incl. multi-start) inside warmstart_solve;
+    # the interactive/sharded branches take the single-start init here.
+    from hortimapping_tpu.optim.warmstart import (
+        maybe_retrieval_init,
+        warmstart_solve,
+    )
 
-    lat0, T0 = maybe_retrieval_init(
-        params, spec, opt_cfg, jnp.asarray(latents_train), obs_b, lat0, T0)
     n_dev = len(jax.devices())
     mesher = MeshExtractor(params, spec, voxels_dim, object_radius_max_m,
                            method=cfg["vis"].get("iso_method", "mt"))
     interactive = getattr(vis, "interactive", False)
     with trace_if_enabled("wild_joint_opt"):
+        if interactive or n_dev > 1:
+            lat0, T0 = maybe_retrieval_init(
+                params, spec, opt_cfg, jnp.asarray(latents_train), obs_b,
+                lat0, T0)
         if interactive:
             # reference-style interactive mode: sequential per-fruit solves
             # with the per-iteration mesh evolution replayed in the window
@@ -259,8 +266,9 @@ def run_wild_completion(cfg: Dict, log=print) -> List[FruitResult]:
             res = shard_joint_opt(params, spec, opt_cfg, obs_b, lat0, T0,
                                   object_radius_max_m, fruit_mesh())
         else:
-            res = solve_in_chunks(
-                params, spec, opt_cfg, obs_b, lat0, T0, object_radius_max_m
+            res = warmstart_solve(
+                params, spec, opt_cfg, jnp.asarray(latents_train), obs_b,
+                lat0, T0, object_radius_max_m,
             )
 
     # ---------------- phase 3: gates, batched meshing, outputs ----------------

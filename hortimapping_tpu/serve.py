@@ -119,6 +119,24 @@ def _assemble_batch_np(reqs: List[CompletionRequest], target: int):
     return obs, lat0, T0
 
 
+_PACK_JIT = None
+
+
+def _get_pack_jit():
+    """One shared jitted `pack_result` for the whole process: warmup() and
+    the worker must hit the SAME compiled-program cache, or the first served
+    batch at each width re-pays the pack-program compile mid-stream (the
+    small-program stall warmup exists to eliminate)."""
+    global _PACK_JIT
+    if _PACK_JIT is None:
+        import jax
+
+        from hortimapping_tpu.optim.lm import pack_result
+
+        _PACK_JIT = jax.jit(pack_result)
+    return _PACK_JIT
+
+
 def _shape_key(req: CompletionRequest) -> Tuple:
     import jax
 
@@ -262,25 +280,36 @@ class CompletionServer:
         with self._lock:
             self._inflight -= 1
 
+    def _batch_width(self, n: int) -> int:
+        """Solve width for an n-request batch: next power of two, capped at
+        max_batch, rounded to a mesh multiple. ONE formula shared by
+        warmup() and the worker — any divergence leaves a width cold and
+        the first batch that hits it stalls for the full XLA compile."""
+        target = 1
+        while target < n:
+            target *= 2
+        target = min(target, self.max_batch)
+        if self.use_mesh:
+            target = -(-target // self._n_dev) * self._n_dev
+        return target
+
     def warmup(self, sample: CompletionRequest) -> None:
         """Precompile the solver for every batch width the packer can emit
-        (1, 2, 4, ..., max_batch, mesh-rounded).
+        (`_batch_width` over 1..max_batch).
 
         A cold width hit mid-stream stalls serving for the full XLA compile
         (tens of seconds — measured as a p50 collapse at 75% offered load in
         the round-3 sweep); a serving process must precompile its program
         set before taking traffic. Queue-based warmup is NOT equivalent:
         the packer's grouping decides the widths it happens to touch."""
-        import jax
-
-        from hortimapping_tpu.optim.lm import joint_opt_packed, pack_result
+        from hortimapping_tpu.optim.lm import joint_opt_packed
 
         widths = set()
         w = 1
         while w < self.max_batch:
-            widths.add(-(-w // self._n_dev) * self._n_dev if self.use_mesh else w)
+            widths.add(self._batch_width(w))
             w *= 2
-        widths.add(self.max_batch)
+        widths.add(self._batch_width(self.max_batch))
         for w in sorted(widths):
             obs, lat0, T0 = _assemble_batch_np([sample], w)
             if self.use_mesh:
@@ -292,7 +321,7 @@ class CompletionServer:
                     self.params, self.spec, self.cfg, obs, lat0, T0,
                     self.cube_radius, self._mesh, sample.pose_known,
                 )
-                np.asarray(jax.jit(pack_result)(res))
+                np.asarray(_get_pack_jit()(res))
             else:
                 _, packed = joint_opt_packed(
                     self.params, self.spec, self.cfg, obs, lat0, T0,
@@ -351,58 +380,56 @@ class CompletionServer:
             except queue.Empty:
                 return got
 
-    def _drain(self) -> List[Tuple[CompletionRequest, Future, float]]:
+    def _drain(self, wait: bool = True) -> List[Tuple[CompletionRequest, Future, float]]:
         """Pick the bucket whose HEAD request is oldest (FIFO across shape
         buckets — a steady majority stream cannot starve a minority bucket),
-        then wait briefly for more same-bucket arrivals to fill the batch."""
-        if not self._pending and not self._pump(0.05):
+        then wait briefly for more same-bucket arrivals to fill the batch.
+
+        `wait=False` (a batch is already in flight on device) takes whatever
+        is ready without blocking: the in-flight batch's completion is the
+        natural batching window, and stalling here would idle the device."""
+        if not self._pending and not self._pump(0.05 if wait else 0.0):
             return []
         key = min(self._pending, key=lambda k: self._pending[k][0][2])
         dq = self._pending[key]
-        deadline = time.perf_counter() + self.max_wait_s
-        while len(dq) < self.max_batch:
-            timeout = deadline - time.perf_counter()
-            if timeout <= 0 or not self._pump(timeout):
-                break
+        if wait:
+            deadline = time.perf_counter() + self.max_wait_s
+            while len(dq) < self.max_batch:
+                timeout = deadline - time.perf_counter()
+                if timeout <= 0 or not self._pump(timeout):
+                    break
         batch = [dq.popleft() for _ in range(min(self.max_batch, len(dq)))]
         if not dq:
             del self._pending[key]
         return batch
 
     def _worker(self) -> None:
-        import jax
-
-        from hortimapping_tpu.optim.lm import joint_opt_packed, pack_result
+        from hortimapping_tpu.optim.lm import joint_opt_packed
 
         if self.use_mesh:
             from hortimapping_tpu.parallel import fruit_mesh, shard_joint_opt
 
             if self._mesh is None:
                 self._mesh = fruit_mesh()
-            pack_jit = jax.jit(pack_result)
+            pack_jit = _get_pack_jit()
 
-        while not self._stop.is_set() or not self._q.empty() or self._pending:
-            batch = self._drain()
-            # honor client-side Future.cancel() before paying for the lane
-            batch = [b for b in batch if b[1].set_running_or_notify_cancel()]
-            if not batch:
-                continue
+        def launch(batch):
+            """Assemble + DISPATCH one batch (solve, pack, mesh-grid decode
+            are all async on device); returns the in-flight state to fetch
+            later, or None after failing the batch's futures."""
             reqs = [b[0] for b in batch]
             futs = [b[1] for b in batch]
             t_sub = [b[2] for b in batch]
             try:
                 n = len(reqs)
-                # pad to the next power of two (x mesh multiple), NOT to
-                # max_batch: padding light batches to full width made a
-                # 1-fruit batch cost a 16-wide solve (~0.6 s vs ~45 ms),
-                # collapsing the low-load service rate below even 25%
-                # offered load (measured in the round-3 load sweep).
-                # Compile variants stay bounded: log2(max_batch) sizes.
-                target = 1
-                while target < n:
-                    target *= 2
-                if self.use_mesh:
-                    target = -(-target // self._n_dev) * self._n_dev
+                # pad to the next power of two (capped at max_batch, x mesh
+                # multiple), NOT to max_batch: padding light batches to full
+                # width made a 1-fruit batch cost a 16-wide solve (~0.6 s vs
+                # ~45 ms), collapsing the low-load service rate below even
+                # 25% offered load (measured in the round-3 load sweep).
+                # Compile variants stay bounded: log2(max_batch) sizes, and
+                # every width here is warmed by warmup() (same formula).
+                target = self._batch_width(n)
                 # numpy assembly: zero eager device ops (see _assemble_batch_np)
                 obs, lat0, T0 = _assemble_batch_np(reqs, target)
                 if self.use_mesh:
@@ -422,48 +449,74 @@ class CompletionServer:
                         self.params, self.spec, self.cfg, obs, lat0, T0,
                         self.cube_radius, reqs[0].pose_known,
                     )
-                # dispatch the mesh-grid decode BEFORE the packed result
-                # fetch so it runs on device while the results cross the
-                # tunnel
+                # dispatch the mesh-grid decode too: it queues behind the
+                # solve on device and runs while the results cross the tunnel
                 grids_dev = (self.mesher.decode_grids_async(res.latent[:n])
                              if self.mesher is not None else None)
+                return dict(reqs=reqs, futs=futs, t_sub=t_sub, n=n,
+                            C=res.latent.shape[1], packed_dev=packed_dev,
+                            grids_dev=grids_dev)
+            except Exception as e:  # deliver the failure to every waiter
+                for fut in futs:
+                    if not fut.done():
+                        fut.set_exception(e)
+                return None
+
+        def complete(st):
+            """Fetch + deliver a previously launched batch."""
+            try:
+                n, C = st["n"], st["C"]
                 # ONE packed fetch: separate np.asarray calls per result
                 # field each pay a remote-TPU round trip with polling
                 # backoff (~250 ms each over the axon tunnel — measured
                 # ~1.1 s/batch of pure fetch overhead vs ~0.38 s of solve)
-                C = res.latent.shape[1]
-                packed = np.asarray(packed_dev)
+                packed = np.asarray(st["packed_dev"])
                 latents = packed[:, :C]
                 T_ows = packed[:, C:C + 16].reshape(-1, 4, 4)
                 iters = packed[:, C + 16].astype(np.int32)
                 failed = packed[:, C + 17] > 0.5
                 conv = packed[:, C + 18] > 0.5
                 meshes = [None] * n
-                if grids_dev is not None:
+                if st["grids_dev"] is not None:
                     T_wo = np.linalg.inv(T_ows[:n])
                     meshes = [
                         m.transform(T) for m, T in zip(
-                            self.mesher.meshes_from_grids(grids_dev), T_wo)
+                            self.mesher.meshes_from_grids(st["grids_dev"]), T_wo)
                     ]
                 now = time.perf_counter()
-                for i, fut in enumerate(futs):
+                for i, fut in enumerate(st["futs"]):
                     if fut.done():  # e.g. cancelled by the client meanwhile
                         continue
                     fut.set_result(CompletionResult(
-                        fruit_id=reqs[i].fruit_id,
+                        fruit_id=st["reqs"][i].fruit_id,
                         latent=latents[i],
                         T_ow=T_ows[i],
                         iter_count=int(iters[i]),
                         failed=bool(failed[i]),
                         converged=bool(conv[i]),
                         mesh=meshes[i],
-                        latency_s=now - t_sub[i],
+                        latency_s=now - st["t_sub"][i],
                         batch_size=n,
                     ))
                 with self._lock:
                     self._completed += n
-                    self._latencies.extend(now - t for t in t_sub)
-            except Exception as e:  # deliver the failure to every waiter
-                for fut in futs:
+                    self._latencies.extend(now - t for t in st["t_sub"])
+            except Exception as e:
+                for fut in st["futs"]:
                     if not fut.done():
                         fut.set_exception(e)
+
+        # one-deep software pipeline: dispatch batch k+1 BEFORE fetching
+        # batch k, so host assembly + the tunnel result fetch of k overlap
+        # k+1's device compute (dispatch order serializes them on the TPU
+        # stream). At saturation this hides ~all non-device time per batch.
+        inflight = None
+        while (not self._stop.is_set() or not self._q.empty()
+               or self._pending or inflight is not None):
+            batch = self._drain(wait=inflight is None)
+            # honor client-side Future.cancel() before paying for the lane
+            batch = [b for b in batch if b[1].set_running_or_notify_cancel()]
+            nxt = launch(batch) if batch else None
+            if inflight is not None:
+                complete(inflight)
+            inflight = nxt

@@ -158,3 +158,25 @@ def test_shard_coarse_to_fine_matches_single_device():
     np.testing.assert_allclose(np.asarray(res.latent), np.asarray(ref.latent), atol=1e-4)
     np.testing.assert_allclose(np.asarray(res.T_ow), np.asarray(ref.T_ow), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(res.iter_count), np.asarray(ref.iter_count))
+
+
+def test_init_multi_host_passthrough(monkeypatch):
+    """init_multi_host must hand the coordinator/process args to
+    jax.distributed.initialize verbatim and return the global fruit mesh —
+    unexercisable on real hardware here (one host), so the wrapper contract
+    is pinned with a recording stub instead of shipping on trust."""
+    from hortimapping_tpu.parallel import sharding as sh
+
+    calls = {}
+
+    def fake_initialize(coordinator_address=None, num_processes=None,
+                        process_id=None):
+        calls.update(coordinator_address=coordinator_address,
+                     num_processes=num_processes, process_id=process_id)
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_initialize)
+    mesh = sh.init_multi_host("10.0.0.1:1234", 4, 2)
+    assert calls == {"coordinator_address": "10.0.0.1:1234",
+                     "num_processes": 4, "process_id": 2}
+    assert mesh.axis_names == ("fruit",)
+    assert mesh.devices.size == len(jax.devices())

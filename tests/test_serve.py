@@ -301,6 +301,29 @@ def test_serve_admission_control():
     assert srv.stats()["inflight"] == 0
 
 
+def test_serve_batch_width_capped_and_warmed():
+    """The worker's solve width must be capped at max_batch and every width
+    it can emit must be in warmup's precompile set — a non-power-of-two
+    max_batch (e.g. 12) used to send 9..12-request batches to a cold
+    16-wide solve, wider than configured."""
+    params, spec = config_decoder(ASSET_DIR)
+    srv = CompletionServer(params, spec, CFG, cube_radius=0.1, max_batch=12,
+                           use_mesh=False)
+    assert srv._batch_width(1) == 1
+    assert srv._batch_width(3) == 4
+    assert srv._batch_width(8) == 8
+    assert srv._batch_width(9) == 12
+    assert srv._batch_width(12) == 12
+    # warmup's width set == the image of _batch_width over 1..max_batch
+    warm = set()
+    w = 1
+    while w < srv.max_batch:
+        warm.add(srv._batch_width(w))
+        w *= 2
+    warm.add(srv._batch_width(srv.max_batch))
+    assert {srv._batch_width(n) for n in range(1, srv.max_batch + 1)} == warm
+
+
 def test_serve_warmup_then_serve():
     """warmup() precompiles all packer widths before traffic; serving after
     warmup returns the same results as without it."""

@@ -158,6 +158,51 @@ def test_multi_start_picks_lowest_objective():
         )
 
 
+def test_warmstart_solve_dispatch():
+    """The shared pipeline entry (warmstart_solve) must honor the three
+    config modes: mean init -> plain solve, retrieval -> single-start from
+    the retrieved (code, scale), retrieval + multi_start -> lowest-objective
+    multi-start pick. Every posed pipeline routes through this one function,
+    so a knob silently ignored here would be ignored everywhere."""
+    import dataclasses
+
+    from hortimapping_tpu.optim.warmstart import warmstart_solve
+
+    params, spec = config_decoder(ASSET_DIR)
+    table, obs, _ = _table_and_fruits(spec, n_fruits=2)
+    B = 2
+    lat0 = jnp.tile(jnp.mean(table, axis=0)[None], (B, 1))
+    T0 = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (B, 1, 1))
+
+    # mean init == plain batched solve
+    got_mean = warmstart_solve(params, spec, CFG, table, obs, lat0, T0, 0.1)
+    want_mean = shape_pose_joint_opt_batched(params, spec, CFG, obs, lat0, T0, 0.1)
+    np.testing.assert_allclose(np.asarray(got_mean.latent),
+                               np.asarray(want_mean.latent), atol=1e-5)
+
+    # retrieval == solve from the retrieved single start
+    cfg_r = dataclasses.replace(CFG, init_mode="retrieval", retrieval_top_k=3,
+                                retrieval_score_pts=64)
+    got_r = warmstart_solve(params, spec, cfg_r, table, obs, lat0, T0, 0.1)
+    lat_r, T_r, top_codes, top_T = retrieval_init_batched(
+        params, spec, table, obs.points_w, obs.point_valid,
+        top_k=3, n_score_pts=64,
+        scale_min=cfg_r.retrieval_scale_min, scale_max=cfg_r.retrieval_scale_max,
+        n_scales=cfg_r.retrieval_n_scales, T_init=T0,
+    )
+    want_r = shape_pose_joint_opt_batched(params, spec, cfg_r, obs, lat_r, T_r, 0.1)
+    np.testing.assert_allclose(np.asarray(got_r.latent),
+                               np.asarray(want_r.latent), atol=1e-5)
+
+    # retrieval + multi_start == multi_start_joint_opt over the top-K
+    cfg_ms = dataclasses.replace(cfg_r, multi_start=3)
+    got_ms = warmstart_solve(params, spec, cfg_ms, table, obs, lat0, T0, 0.1)
+    want_ms = multi_start_joint_opt(params, spec, cfg_ms, obs,
+                                    top_codes, top_T, 0.1)
+    np.testing.assert_allclose(np.asarray(got_ms.latent),
+                               np.asarray(want_ms.latent), atol=1e-5)
+
+
 def test_objective_finite_and_ranks_gt_lowest():
     params, spec = config_decoder(ASSET_DIR)
     table, obs, gt_rows = _table_and_fruits(spec, n_fruits=2)
