@@ -63,21 +63,23 @@ def main():
     # wild_pepper.yaml workload shapes (configs/wild_pepper.yaml:30-49), solved
     # with the two-resolution schedule (optim/lm.coarse_to_fine_joint_opt):
     # phase A on every 4th frame at 0.3x rays / 0.35x samples / 0.3x points
-    # (~16x cheaper per iteration, capped at 25 iterations — the coarse
-    # problem converges by then),
+    # (~16x cheaper per iteration, capped at 8 iterations — the retrieval
+    # warm start below converges the coarse problem that fast; a 25-cap
+    # budget measures identically on held-out seeds at +3.4 ms/fruit),
     # phase B full-resolution polish capped at 2. Measured AGAINST the
     # single-phase reference-parity solve on this workload
-    # (tools/perf_probe.py, 16 fruits vs analytic GT, held-out seeds too):
-    # 208 -> ~22 ms/fruit with mean Chamfer-L1 0.528 vs 0.634 mm (17%
-    # BETTER) and max CD 1.184 vs 1.424 mm — the speedup does not trade
-    # quality (held-out seeds: 0.670 vs 0.778 mm). docs/PERF.md has the sweep and the challenge-config negative
-    # result (c2f stays per-config opt-in).
+    # (tools/perf_probe.py, 16 fruits vs analytic GT, tuning AND held-out
+    # seeds, device NN-metric with the round-3 cancellation fix):
+    # 189 -> ~18 ms/fruit solve with mean Chamfer-L1 3.12 vs 3.79 mm
+    # (18% BETTER, warm start included) and max CD 3.38 vs 4.17 mm — the
+    # speedup does not trade quality. docs/PERF.md has the sweep and the
+    # challenge-config negative result (c2f stays per-config opt-in).
     cfg = JointOptConfig(
         scale_on=True, n_fg_pix=200, n_bg_pix=200, n_frame=10,
         n_sample_on_ray=30, recon_n_pts=2000, max_iter=50,
         coarse_to_fine=True, fine_max_iter=2,
         coarse_frame_stride=4, coarse_ray_frac=0.3, coarse_sample_frac=0.35,
-        coarse_pts_frac=0.3, coarse_max_iter=25, coarse_fused_tr=64,
+        coarse_pts_frac=0.3, coarse_max_iter=8, coarse_fused_tr=64,
     )
     cube_radius = 0.08  # object_radius_max_m, wild_pepper.yaml
     mc_res_mm = 4.0
@@ -88,10 +90,11 @@ def main():
 
     # retrieval warm start (optim/warmstart.py): per-fruit (code, scale)
     # from the trained latent table scored against the observed cloud —
-    # held-out validated CD -11% over the mean init at the same schedule
-    # (docs/PERF.md round 3). bf16 scoring over 128 points x 3 scales keeps
-    # the in-loop cost at ~1.6 ms/fruit for nearly all of the quality win
-    # (CD 0.486 vs 0.481 mm on the tuning set vs full-f32 scoring).
+    # held-out validated CD -9% over the mean init at the same schedule
+    # (docs/PERF.md round 3, re-measured after the NN-metric fix). bf16
+    # scoring over 128 points x 3 scales keeps the in-loop cost at
+    # ~1.6 ms/fruit for nearly all of the quality win, and is what lets
+    # the coarse phase stop at 8 iterations.
     from hortimapping_tpu.models.workspace import load_latent_vectors
     from hortimapping_tpu.optim.warmstart import retrieval_joint_opt
 

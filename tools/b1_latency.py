@@ -46,7 +46,7 @@ def main(variants) -> None:
     c2f = dataclasses.replace(
         cfg, coarse_to_fine=True, fine_max_iter=2, coarse_frame_stride=4,
         coarse_ray_frac=0.3, coarse_sample_frac=0.35, coarse_pts_frac=0.3,
-        coarse_max_iter=25,
+        coarse_max_iter=8,
     )
     named = {"parity": cfg, "c2f": c2f, "retr_c2f": c2f,
              "tr": dataclasses.replace(cfg, trust_region=True)}
