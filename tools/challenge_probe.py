@@ -49,6 +49,14 @@ def variant_tpu_block(name: str) -> tuple:
     if base.endswith("_tr"):
         tpu["trust_region"] = True
         base = base[:-3]
+    if base.endswith("_c2f"):
+        # the mild two-resolution schedule from the round-2 negative result
+        # (docs/PERF.md): re-checkable against the fixed NN metric
+        tpu.update(coarse_to_fine=True, fine_max_iter=2,
+                   coarse_frame_stride=2, coarse_ray_frac=0.5,
+                   coarse_sample_frac=0.5, coarse_pts_frac=0.5,
+                   coarse_max_iter=10)
+        base = base[:-4]
     if base.endswith("_s1"):
         tpu["retrieval_n_scales"] = 1
         tpu["retrieval_scale_min"] = 1.0
