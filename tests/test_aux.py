@@ -123,7 +123,7 @@ def test_tpu_solver_yaml_block_parses():
     assert oc.coarse_ray_frac == 0.3
     assert oc.coarse_sample_frac == 0.35
     assert oc.coarse_pts_frac == 0.3
-    assert oc.coarse_max_iter == 25
+    assert oc.coarse_max_iter == 8
     assert oc.coarse_fused_tr == 64
     assert oc.fine_max_iter == 2
     # everything outside opt.tpu stays byte-identical with the parity config
