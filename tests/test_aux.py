@@ -152,3 +152,35 @@ def test_tpu_challenge_yaml_block_parses():
     tpu_opt = dict(cfg["opt"])
     tpu_opt.pop("tpu")
     assert tpu_opt == base["opt"]
+
+
+def test_tpu_family_yaml_blocks_parse():
+    """The lab + greenhouse TPU configs' opt.tpu blocks (retrieval warm
+    start; unit-scale scoring on the SE(3) lab workload) route into
+    JointOptConfig, and everything outside the block stays byte-identical
+    with the reference-schema configs."""
+    import os
+
+    from hortimapping_tpu.config import JointOptConfig, load_config
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+    cfg = load_config(os.path.join(root, "lab_pepper_tpu.yaml"))
+    oc = JointOptConfig.from_dict(cfg)
+    assert oc.init_mode == "retrieval"
+    assert oc.retrieval_n_scales == 1
+    assert oc.retrieval_scale_min == 1.0 and oc.retrieval_scale_max == 1.0
+    assert oc.scale_on is False
+    base = load_config(os.path.join(root, "lab_pepper.yaml"))
+    tpu_opt = dict(cfg["opt"])
+    tpu_opt.pop("tpu")
+    assert tpu_opt == base["opt"]
+
+    cfg = load_config(os.path.join(root, "cka_pepper_tpu.yaml"))
+    oc = JointOptConfig.from_dict(cfg)
+    assert oc.init_mode == "retrieval"
+    assert oc.scale_on is True
+    base = load_config(os.path.join(root, "cka_pepper.yaml"))
+    tpu_opt = dict(cfg["opt"])
+    tpu_opt.pop("tpu")
+    assert tpu_opt == base["opt"]

@@ -103,6 +103,11 @@ def main() -> None:
                     help="run ours on CPU (exact f32, torch threads pinned) — "
                          "the pinned comparison environment; on TPU the bf16 "
                          "matmul passes shift the basin-unstable lab workload")
+    ap.add_argument("--variant", default="mean",
+                    help="opt.tpu solver/init variant for the OURS side only "
+                         "(challenge_probe grammar, e.g. retrieval, "
+                         "retrieval_s1); the reference side always runs the "
+                         "genuine solver from the table-mean init")
     args = ap.parse_args()
 
     import torch
@@ -163,6 +168,15 @@ def main() -> None:
                                                log=lambda *a: None)
         prep = lambda oc: prepare_greenhouse_instances(cfg, oc,
                                                        multi_frame=args.multi)
+
+    if args.variant != "mean":
+        sys.path.insert(0, os.path.join(ROOT, "tools"))
+        from challenge_probe import variant_tpu_block
+
+        tpu, max_iter = variant_tpu_block(args.variant)
+        cfg.setdefault("opt", {})["tpu"] = tpu
+        if max_iter is not None:
+            cfg["opt"].setdefault("converge", {})["max_iter"] = max_iter
 
     opt_cfg = JointOptConfig.from_dict(cfg)
     radius = float(cfg["vis"]["object_radius_max_m"])
