@@ -752,6 +752,7 @@ def joint_opt_packed(
     T_ow0: jnp.ndarray,
     cube_radius: float,
     pose_known: bool = False,
+    latent_table: Optional[jnp.ndarray] = None,
 ) -> Tuple[OptResult, jnp.ndarray]:
     """One-dispatch batched solve returning (result, packed result).
 
@@ -760,7 +761,19 @@ def joint_opt_packed(
     a robot-loop (B=1) solve costs exactly one dispatch round trip plus one
     packed-array fetch over the device link. The unpacked `OptResult` device
     handles come along for free — e.g. to dispatch the mesher's grid decode
-    before the packed fetch (serve.py overlaps them)."""
+    before the packed fetch (serve.py overlaps them).
+
+    With `cfg.init_mode == "retrieval"` and a `latent_table`, the retrieval
+    warm start (optim/warmstart.py) replaces (latent0, T_ow0) INSIDE the
+    same program — scoring, both solve phases, and packing stay one
+    dispatch, so serving and the B=1 robot loop get the warm start at zero
+    extra round trips."""
+    if cfg.init_mode == "retrieval" and latent_table is not None:
+        from hortimapping_tpu.optim.warmstart import maybe_retrieval_init
+
+        latent0, T_ow0 = maybe_retrieval_init(
+            params, spec, cfg, latent_table, obs, latent0, T_ow0
+        )
     solver = coarse_to_fine_joint_opt if cfg.coarse_to_fine else shape_pose_joint_opt_batched
     res = solver(params, spec, cfg, obs, latent0, T_ow0, cube_radius, pose_known)
     return res, pack_result(res)

@@ -119,17 +119,52 @@ def pad_to_multiple(
 
 @lru_cache(maxsize=64)
 def _sharded_solver(mesh: Mesh, spec: DecoderSpec, cfg: JointOptConfig,
-                    cube_radius: float, pose_known: bool):
+                    cube_radius: float, pose_known: bool,
+                    with_retrieval: bool = False):
     """Build (once per static configuration) the jitted sharded solve.
 
     The shard_map-wrapped callable MUST be cached: rebuilding it per call
     gives jit a fresh function identity every time, so every served batch
     would retrace + recompile the whole mapped while_loop program (measured
     ~4 s per call on the 8-device dryrun — the dryrun's no-serialize
-    assertion is what caught this)."""
+    assertion is what caught this).
+
+    `with_retrieval` adds a replicated latent-table operand and runs the
+    retrieval warm start (optim/warmstart.py) on each device's local lanes
+    before its solve — scoring is per-fruit math, so the hot path stays
+    collective-free."""
     fruit = P("fruit")
     repl = P()
     obs_specs = FruitObservations(*([fruit] * len(FruitObservations._fields)))
+
+    def _solve(params_, obs_, lat0_, T0_):
+        # both phases of the two-resolution solve (and the trust-region
+        # while_loop) are per-lane local math — still zero collectives
+        solver = (coarse_to_fine_joint_opt if cfg.coarse_to_fine
+                  else shape_pose_joint_opt_batched)
+        return solver(
+            params_, spec, cfg, obs_, lat0_, T0_, cube_radius, pose_known
+        )
+
+    if with_retrieval:
+
+        @jax.jit
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(repl, repl, obs_specs, fruit, fruit),
+            out_specs=OptResult(fruit, fruit, fruit, fruit, fruit),
+            check_vma=False,
+        )
+        def _run_retrieval(params_, table_, obs_, lat0_, T0_):
+            from hortimapping_tpu.optim.warmstart import maybe_retrieval_init
+
+            lat0_, T0_ = maybe_retrieval_init(
+                params_, spec, cfg, table_, obs_, lat0_, T0_
+            )
+            return _solve(params_, obs_, lat0_, T0_)
+
+        return _run_retrieval
 
     @jax.jit
     @partial(
@@ -140,13 +175,7 @@ def _sharded_solver(mesh: Mesh, spec: DecoderSpec, cfg: JointOptConfig,
         check_vma=False,
     )
     def _run(params_, obs_, lat0_, T0_):
-        # both phases of the two-resolution solve (and the trust-region
-        # while_loop) are per-lane local math — still zero collectives
-        solver = (coarse_to_fine_joint_opt if cfg.coarse_to_fine
-                  else shape_pose_joint_opt_batched)
-        return solver(
-            params_, spec, cfg, obs_, lat0_, T0_, cube_radius, pose_known
-        )
+        return _solve(params_, obs_, lat0_, T0_)
 
     return _run
 
@@ -161,6 +190,7 @@ def shard_joint_opt(
     cube_radius: float,
     mesh: Mesh,
     pose_known: bool = False,
+    latent_table=None,
 ) -> OptResult:
     """Run the batched joint shape+pose optimization sharded over `mesh`.
 
@@ -169,13 +199,19 @@ def shard_joint_opt(
     iterates its local lanes to convergence (zero collectives on the hot
     path). The batch is padded to a mesh multiple; padded lanes come back
     with `failed=True` and are sliced off before returning.
+
+    With `cfg.init_mode == "retrieval"` and a `latent_table` ([N, C],
+    replicated), the retrieval warm start runs inside the same sharded
+    program on each device's local lanes.
     """
     n_dev = mesh.devices.size
     obs, latent0, T_ow0, B = pad_to_multiple(obs, latent0, T_ow0, n_dev)
 
     fruit = P("fruit")
     repl = P()
-    run = _sharded_solver(mesh, spec, cfg, float(cube_radius), bool(pose_known))
+    with_retrieval = cfg.init_mode == "retrieval" and latent_table is not None
+    run = _sharded_solver(mesh, spec, cfg, float(cube_radius),
+                          bool(pose_known), with_retrieval)
 
     # place inputs before dispatch so XLA doesn't re-layout inside the map
     sharded = jax.device_put(
@@ -186,5 +222,11 @@ def shard_joint_opt(
             NamedSharding(mesh, fruit),
         ),
     )
-    res = run(jax.device_put(params, NamedSharding(mesh, repl)), *sharded)
+    params_r = jax.device_put(params, NamedSharding(mesh, repl))
+    if with_retrieval:
+        table_r = jax.device_put(jnp.asarray(latent_table),
+                                 NamedSharding(mesh, repl))
+        res = run(params_r, table_r, *sharded)
+    else:
+        res = run(params_r, *sharded)
     return jax.tree_util.tree_map(lambda a: a[:B], res)

@@ -167,10 +167,21 @@ class CompletionServer:
         mesher=None,
         use_mesh: Optional[bool] = None,
         max_queue: Optional[int] = None,
+        latent_table=None,
     ):
         self.params = params
         self.spec = spec
         self.cfg = cfg
+        # retrieval warm start in serving: the table rides inside the same
+        # dispatched program (optim/lm.joint_opt_packed /
+        # parallel/sharding.shard_joint_opt), so warm-started serving costs
+        # zero extra round trips. A config that asks for retrieval without
+        # a table would silently serve the mean init — fail loudly instead.
+        if cfg.init_mode == "retrieval" and latent_table is None:
+            raise ValueError(
+                "cfg.init_mode='retrieval' requires latent_table "
+                "(models/workspace.load_latent_vectors)")
+        self.latent_table = latent_table
         self.cube_radius = float(cube_radius)
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_s)
@@ -320,12 +331,14 @@ class CompletionServer:
                 res = shard_joint_opt(
                     self.params, self.spec, self.cfg, obs, lat0, T0,
                     self.cube_radius, self._mesh, sample.pose_known,
+                    latent_table=self.latent_table,
                 )
                 np.asarray(_get_pack_jit()(res))
             else:
                 _, packed = joint_opt_packed(
                     self.params, self.spec, self.cfg, obs, lat0, T0,
                     self.cube_radius, sample.pose_known,
+                    latent_table=self.latent_table,
                 )
                 np.asarray(packed)
 
@@ -439,6 +452,7 @@ class CompletionServer:
                     res = shard_joint_opt(
                         self.params, self.spec, self.cfg, obs, lat0, T0,
                         self.cube_radius, self._mesh, reqs[0].pose_known,
+                        latent_table=self.latent_table,
                     )
                     packed_dev = pack_jit(res)
                 else:
@@ -448,6 +462,7 @@ class CompletionServer:
                     res, packed_dev = joint_opt_packed(
                         self.params, self.spec, self.cfg, obs, lat0, T0,
                         self.cube_radius, reqs[0].pose_known,
+                        latent_table=self.latent_table,
                     )
                 # dispatch the mesh-grid decode too: it queues behind the
                 # solve on device and runs while the results cross the tunnel

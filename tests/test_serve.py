@@ -340,3 +340,46 @@ def test_serve_warmup_then_serve():
     want = shape_pose_joint_opt_batched(params, spec, CFG, obs, lat0, T0, 0.1)
     for i, g in enumerate(got):
         np.testing.assert_allclose(g.latent, np.asarray(want.latent[i]), atol=1e-5)
+
+
+def test_serve_retrieval_warmstart_matches_direct():
+    """Serving with `cfg.init_mode: retrieval` routes the latent table into
+    the one-dispatch packed solve (and the sharded path) and matches the
+    pipeline-facing `warmstart_solve` lane for lane; a retrieval config
+    without a table must fail loudly at construction."""
+    import dataclasses
+
+    from hortimapping_tpu.optim.warmstart import warmstart_solve
+
+    params, spec = config_decoder(ASSET_DIR)
+    cfg = dataclasses.replace(CFG, init_mode="retrieval",
+                              retrieval_score_pts=32, retrieval_n_scales=3)
+    with pytest.raises(ValueError, match="latent_table"):
+        CompletionServer(params, spec, cfg, cube_radius=0.1)
+
+    rng = np.random.default_rng(5)
+    table = jnp.asarray(rng.normal(size=(16, spec.code_length)) * 0.3,
+                        jnp.float32)
+    reqs = _requests(spec, 3, seed=7)
+    obs = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[r.obs for r in reqs])
+    lat0 = jnp.stack([jnp.asarray(r.latent0) for r in reqs])
+    T0 = jnp.stack([jnp.asarray(r.T_ow0) for r in reqs])
+    want = warmstart_solve(params, spec, cfg, table, obs, lat0, T0, 0.1)
+
+    with CompletionServer(params, spec, cfg, cube_radius=0.1, max_batch=3,
+                          latent_table=table, use_mesh=False) as srv:
+        results = [f.result(timeout=600) for f in [srv.submit(r) for r in reqs]]
+    for i, r in enumerate(results):
+        assert not r.failed
+        np.testing.assert_allclose(r.latent, np.asarray(want.latent[i]), atol=1e-5)
+        np.testing.assert_allclose(r.T_ow, np.asarray(want.T_ow[i]), atol=1e-5)
+
+    # mesh-sharded serving with the warm start: lane-for-lane identical
+    srv2 = CompletionServer(params, spec, cfg, cube_radius=0.1, max_batch=3,
+                            latent_table=table, use_mesh=True)
+    with srv2:
+        got = [f.result(timeout=600) for f in [srv2.submit(r) for r in reqs]]
+    for w, g in zip(results, got):
+        assert g.fruit_id == w.fruit_id and not g.failed
+        np.testing.assert_allclose(g.latent, w.latent, atol=1e-5)
+        np.testing.assert_allclose(g.T_ow, w.T_ow, atol=1e-5)
