@@ -14,6 +14,7 @@ Drives `serve.CompletionServer` two ways:
 Prints one JSON line per measurement. Usage:
 
     python tools/serve_bench.py [--n-fruits 64] [--max-batch 16] [--parity]
+    python tools/serve_bench.py --warmstart          # bench.py's retr_c2f solver
     python tools/serve_bench.py --sweep 0.25,0.5,0.75,0.9 [--max-queue 32]
 """
 
@@ -42,6 +43,10 @@ def main() -> None:
                     help="comma-separated offered-load fractions of capacity")
     ap.add_argument("--max-queue", type=int, default=None,
                     help="admission-control bound on in-flight requests")
+    ap.add_argument("--warmstart", action="store_true",
+                    help="retrieval warm start inside the served program + "
+                         "the shipped 8-iteration coarse cap (the bench.py "
+                         "solver configuration)")
     args = ap.parse_args()
 
     import jax
@@ -63,6 +68,19 @@ def main() -> None:
         coarse_frame_stride=4, coarse_ray_frac=0.3, coarse_sample_frac=0.35,
         coarse_pts_frac=0.3,
     )
+    latent_table = None
+    if args.warmstart:
+        import dataclasses
+
+        from hortimapping_tpu.models.workspace import load_latent_vectors
+
+        cfg = dataclasses.replace(
+            cfg, init_mode="retrieval", coarse_max_iter=8,
+            retrieval_score_pts=128, retrieval_n_scales=3,
+            retrieval_score_bf16=True,
+        )
+        latent_table = load_latent_vectors(
+            os.path.join(ROOT, "assets", "synthetic_pepper_32"))
     cat = SyntheticCategory(spec=spec, base_radius=0.06)
     rng = np.random.default_rng(42)
     reqs = []
@@ -82,7 +100,8 @@ def main() -> None:
               if args.mesh else None)
     srv = CompletionServer(params, spec, cfg, cube_radius=0.08,
                            max_batch=args.max_batch, max_wait_s=0.01,
-                           mesher=mesher, max_queue=args.max_queue)
+                           mesher=mesher, max_queue=args.max_queue,
+                           latent_table=latent_table)
     with srv:
         # precompile every batch width the packer can emit (a cold width
         # hit mid-stream stalls serving for the full XLA compile), then one
@@ -114,7 +133,8 @@ def main() -> None:
             "n_fruits": args.n_fruits,
             "max_batch": args.max_batch,
             "max_queue": args.max_queue,
-            "solver": "parity" if args.parity else "coarse_to_fine",
+            "solver": ("parity" if args.parity else
+                       "retr_c2f" if args.warmstart else "coarse_to_fine"),
             "meshing": bool(args.mesh),
             "latency_p50_s": round(lat[len(lat) // 2], 3),
             "latency_p95_s": round(lat[int(len(lat) * 0.95)], 3),
