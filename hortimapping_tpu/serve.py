@@ -181,6 +181,15 @@ class CompletionServer:
             raise ValueError(
                 "cfg.init_mode='retrieval' requires latent_table "
                 "(models/workspace.load_latent_vectors)")
+        # The packed/sharded serving programs apply the single-start
+        # retrieval init only; silently serving single-start results for a
+        # multi_start config would make pipeline-vs-server comparisons
+        # meaningless (optim/warmstart.warmstart_solve honors it).
+        if cfg.multi_start > 1:
+            raise ValueError(
+                "CompletionServer does not support opt.tpu.multi_start > 1; "
+                "use the batch pipelines (optim/warmstart.warmstart_solve) "
+                "or set multi_start: 1 in the serving config")
         self.latent_table = latent_table
         self.cube_radius = float(cube_radius)
         self.max_batch = int(max_batch)
@@ -304,7 +313,7 @@ class CompletionServer:
             target = -(-target // self._n_dev) * self._n_dev
         return target
 
-    def warmup(self, sample: CompletionRequest) -> None:
+    def warmup(self, sample) -> None:
         """Precompile the solver for every batch width the packer can emit
         (`_batch_width` over 1..max_batch).
 
@@ -312,7 +321,23 @@ class CompletionServer:
         (tens of seconds — measured as a p50 collapse at 75% offered load in
         the round-3 sweep); a serving process must precompile its program
         set before taking traffic. Queue-based warmup is NOT equivalent:
-        the packer's grouping decides the widths it happens to touch."""
+        the packer's grouping decides the widths it happens to touch.
+
+        `sample` is one CompletionRequest or a sequence of them — pass one
+        representative per shape bucket the stream will carry (observation
+        shapes and pose_known both key `_shape_key`); a single sample warms
+        only its own bucket and a second bucket would still compile cold
+        mid-stream."""
+        samples = [sample] if isinstance(sample, CompletionRequest) else list(sample)
+        seen = set()
+        for s in samples:
+            key = _shape_key(s)
+            if key in seen:
+                continue
+            seen.add(key)
+            self._warmup_one(s)
+
+    def _warmup_one(self, sample: CompletionRequest) -> None:
         from hortimapping_tpu.optim.lm import joint_opt_packed
 
         widths = set()

@@ -20,6 +20,20 @@ from typing import Callable, Dict, List, Optional, Tuple
 import numpy as np
 
 
+def _scan_bounds(scan) -> Tuple[np.ndarray, np.ndarray]:
+    """AABB (lo, hi) of a scan of any accepted type: the framework's
+    point-cloud/mesh types (`.aabb()`), open3d geometries
+    (`get_axis_aligned_bounding_box()` — the reference passes o3d clouds,
+    opt_visualizer.py:171), or anything with `.points`."""
+    if hasattr(scan, "aabb"):
+        return scan.aabb()
+    if hasattr(scan, "get_axis_aligned_bounding_box"):
+        box = scan.get_axis_aligned_bounding_box()
+        return np.asarray(box.min_bound), np.asarray(box.max_bound)
+    pts = np.asarray(scan.points, np.float64)
+    return pts.min(axis=0), pts.max(axis=0)
+
+
 class Renderer:
     """Minimal window interface the visualizer core draws through.
 
@@ -165,7 +179,7 @@ class VisualizerCore:
     def add_scan(self, scan) -> None:
         self.scan = scan
         self.renderer.add("scan", scan, self.reset_bounding_box)
-        lo, hi = scan.aabb()
+        lo, hi = _scan_bounds(scan)
         # canonical-mesh anchor beside the scan + counter anchor
         # (reference opt_visualizer.py:171-182)
         self.cano_tran = (np.asarray(lo) + np.asarray(hi)) / 2.0

@@ -383,3 +383,48 @@ def test_serve_retrieval_warmstart_matches_direct():
         assert g.fruit_id == w.fruit_id and not g.failed
         np.testing.assert_allclose(g.latent, w.latent, atol=1e-5)
         np.testing.assert_allclose(g.T_ow, w.T_ow, atol=1e-5)
+
+
+def test_serve_multi_start_rejected():
+    """multi_start > 1 is a pipeline-only knob (warmstart_solve); the packed
+    serving programs apply single-start retrieval only, so the server must
+    refuse rather than silently serve different results than the pipeline."""
+    import dataclasses
+
+    params, spec = config_decoder(ASSET_DIR)
+    cfg = dataclasses.replace(CFG, init_mode="retrieval", multi_start=2,
+                              retrieval_score_pts=32)
+    table = jnp.zeros((8, spec.code_length), jnp.float32)
+    with pytest.raises(ValueError, match="multi_start"):
+        CompletionServer(params, spec, cfg, cube_radius=0.1, latent_table=table)
+
+
+def test_serve_warmup_multiple_buckets():
+    """warmup() accepts one representative per shape bucket and precompiles
+    each bucket's widths (a single sample would leave the second bucket to
+    compile cold mid-stream); duplicate-bucket samples are deduped."""
+    params, spec = config_decoder(ASSET_DIR)
+    reqs_a = _requests(spec, 2, seed=11)
+
+    cat = SyntheticCategory(spec=spec)
+    rng = np.random.default_rng(13)
+    reqs_b = []
+    for b in range(2):
+        code = rng.normal(size=spec.code_length).astype(np.float32) * 0.3
+        T_wo = np.eye(4, dtype=np.float32)
+        obs, _ = make_scene(cat, code, T_wo, n_frames=3, n_fg=CFG.n_fg_pix,
+                            n_bg=CFG.n_bg_pix, n_points=CFG.recon_n_pts,
+                            seed=60 + b)
+        reqs_b.append(CompletionRequest(
+            fruit_id=f"wb_{b}", obs=obs,
+            latent0=np.zeros(spec.code_length, np.float32),
+            T_ow0=np.linalg.inv(T_wo).astype(np.float32)))
+
+    srv = CompletionServer(params, spec, CFG, cube_radius=0.1, max_batch=2,
+                           max_wait_s=0.5, use_mesh=False)
+    srv.warmup([reqs_a[0], reqs_b[0], reqs_a[1]])  # third sample: dup bucket
+    with srv:
+        futs = [srv.submit(r) for r in reqs_a + reqs_b]
+        results = [f.result(timeout=600) for f in futs]
+    assert all(not r.failed for r in results)
+    assert all(r.batch_size == 2 for r in results)

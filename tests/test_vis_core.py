@@ -186,3 +186,28 @@ def test_wild_pipeline_interactive_replay(tmp_path, monkeypatch):
     mesh_updates = [op for op in renderer.ops if op[:2] == ("add", "mesh")]
     assert len(mesh_updates) >= max(res.iter_count for res in solved)
     assert "scan" in [op[1] for op in renderer.ops if op[0] == "add"]
+
+
+def test_add_scan_accepts_foreign_point_types():
+    """add_scan must take any accepted scan type, not just the framework's
+    PointCloud: an o3d-like object (get_axis_aligned_bounding_box) and a
+    bare points-holder both anchor the canonical mesh/counter correctly."""
+
+    class _FakeBox:
+        min_bound = np.zeros(3)
+        max_bound = np.full(3, 0.1)
+
+    class _FakeO3dPcd:
+        points = np.array([[0, 0, 0], [0.1, 0.1, 0.1]], np.float64)
+
+        def get_axis_aligned_bounding_box(self):
+            return _FakeBox()
+
+    class _BarePoints:
+        points = np.array([[0, 0, 0], [0.1, 0.1, 0.1]], np.float64)
+
+    for scan in (_FakeO3dPcd(), _BarePoints()):
+        core, r = _core()
+        core.add_scan(scan)
+        np.testing.assert_allclose(core.cano_tran, [0.05 + 0.2, 0.05, 0.05])
+        assert "scan" in r.shown and "txt" in r.shown

@@ -25,6 +25,7 @@ with paired per-instance deltas. Usage:
 from __future__ import annotations
 
 import argparse
+import copy
 import os
 import sys
 import time
@@ -169,6 +170,13 @@ def main() -> None:
         prep = lambda oc: prepare_greenhouse_instances(cfg, oc,
                                                        multi_frame=args.multi)
 
+    # The reference side must always run the genuine (pre-variant)
+    # configuration — a variant that changes e.g. max_iter would otherwise
+    # leak through reference_cfg() and the head-to-head would compare
+    # against a non-reference baseline (tools/reference_head2head.py builds
+    # the same clean split).
+    ref_opt_cfg = JointOptConfig.from_dict(copy.deepcopy(cfg))
+
     if args.variant != "mean":
         sys.path.insert(0, os.path.join(ROOT, "tools"))
         from challenge_probe import variant_tpu_block
@@ -196,7 +204,7 @@ def main() -> None:
     init_latent = np.asarray(jnp.mean(load_latent_vectors(deepsdf_dir), axis=0))
     dec = rs.torch_decoder_from_params(params, spec)
     _, _, ref_optimizer = rs.import_reference()
-    opt = ref_optimizer.Optimizer(rs.reference_cfg(opt_cfg), dec,
+    opt = ref_optimizer.Optimizer(rs.reference_cfg(ref_opt_cfg), dec,
                                   mesher=None, vis=None)
     mesher = MeshExtractor(params, spec, voxels_dim, radius)
 

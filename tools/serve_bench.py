@@ -57,7 +57,8 @@ def main() -> None:
     from hortimapping_tpu.config import JointOptConfig
     from hortimapping_tpu.models.workspace import config_decoder
     from hortimapping_tpu.ops.mesher import MeshExtractor
-    from hortimapping_tpu.serve import CompletionRequest, CompletionServer
+    from hortimapping_tpu.serve import (CompletionRequest, CompletionServer,
+                                        ServerOverloaded)
     from hortimapping_tpu.tools.synthetic import SyntheticCategory, make_scene
 
     params, spec = config_decoder(os.path.join(ROOT, "assets", "synthetic_pepper_32"))
@@ -119,7 +120,7 @@ def main() -> None:
                 try:
                     pending.append(srv.submit(r))
                     break
-                except Exception:  # ServerOverloaded under --max-queue
+                except ServerOverloaded:  # backpressure under --max-queue
                     results.append(pending.pop(0).result(timeout=900))
         results += [f.result(timeout=900) for f in pending]
         wall = time.perf_counter() - t0
