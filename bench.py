@@ -100,22 +100,25 @@ def main():
 
     latent_table = load_latent_vectors(os.path.join(ASSETS, "synthetic_pepper_32"))
 
+    C = spec.code_length
+
     def run():
         # retrieval scoring + both c2f phases in ONE dispatched program
         res = retrieval_joint_opt(
             params, spec, cfg, latent_table, obs, T0, cube_radius,
             n_score_pts=128, n_scales=3, score_bf16=True,
         )
-        # dispatch the mesh-grid decode BEFORE the pose fetch so the decode
-        # runs on device while the poses cross the (slow) tunnel; each
-        # np.asarray is a round trip with polling backoff, so per-fruit
-        # fetches would cost ~30 ms each (measured 480 ms/rep)
-        grids_dev = mesher.decode_grids_async(res.latent)
-        T_wo = np.linalg.inv(np.asarray(res.T_ow))
+        # solve result + SDF grids cross the tunnel in ONE bitcast-packed
+        # fetch (mesher.pack_solve_with_grids): every separate np.asarray is
+        # a round trip with polling backoff (~30-80 ms each measured; the
+        # former two-fetch overlap scheme ran ~456 ms/rep, this ~395)
+        host = np.asarray(mesher.pack_solve_with_grids(res))
+        head, grids = mesher.unpack_solve_with_grids(host)
+        T_wo = np.linalg.inv(head[:, C:C + 16].reshape(-1, 4, 4))
         meshes = [
-            m.transform(T) for m, T in zip(mesher.meshes_from_grids(grids_dev), T_wo)
+            m.transform(T) for m, T in zip(mesher.meshes_from_grids(grids), T_wo)
         ]
-        return res, meshes
+        return head, meshes
 
     run()  # warmup: compile + first meshing
     n_rep = 5

@@ -106,6 +106,22 @@ class MeshExtractor:
             jax.vmap(lambda l: _decode_grid(l).astype(jnp.float16))
         )
 
+        def _pack_with_grids(res):
+            # bit-exact f32 solve fields and f16 grids in one uint16 buffer:
+            # each separate device->host fetch pays a full round trip plus
+            # polling backoff over remote-TPU links (CLAUDE.md / lm.pack_result),
+            # so solve + meshing results must cross in ONE fetch
+            from hortimapping_tpu.optim.lm import pack_result
+
+            head_f32 = pack_result(res)
+            grids = jax.vmap(lambda l: _decode_grid(l).astype(jnp.float16))(res.latent)
+            B = res.latent.shape[0]
+            head = jax.lax.bitcast_convert_type(head_f32, jnp.uint16).reshape(B, -1)
+            body = jax.lax.bitcast_convert_type(grids, jnp.uint16).reshape(B, -1)
+            return jnp.concatenate([head, body], axis=1)
+
+        self._pack_with_grids = jax.jit(_pack_with_grids)
+
     def decode_sdf_grid(self, latent: jnp.ndarray) -> np.ndarray:
         """(D, D, D) SDF values for one code."""
         d = self.voxels_dim
@@ -128,6 +144,25 @@ class MeshExtractor:
         d = self.voxels_dim
         grids = np.asarray(grids_dev).reshape(-1, d, d, d)
         return self._meshes_from_host_grids(grids)
+
+    def pack_solve_with_grids(self, res) -> jnp.ndarray:
+        """[B, 2*(C+19) + D^3] uint16 device buffer: the solver's packed
+        result (`optim/lm.pack_result`, bit-exact f32) followed by the f16
+        SDF grids — solve AND meshing results in ONE device->host fetch.
+        Dispatches without syncing; unpack the fetched array with
+        `unpack_solve_with_grids`."""
+        return self._pack_with_grids(res)
+
+    def unpack_solve_with_grids(self, host_u16: np.ndarray):
+        """Inverse of `pack_solve_with_grids` on the fetched numpy array:
+        -> (packed_f32 [B, C+19], grids_f16 [B, D, D, D]). Feed grids to
+        `meshes_from_grids`; split packed_f32 as lm.pack_result documents
+        (latent | T_ow(16) | iters | failed | converged)."""
+        n_head = 2 * (self.spec.code_length + 19)
+        d = self.voxels_dim
+        head = np.ascontiguousarray(host_u16[:, :n_head]).view(np.float32)
+        grids = np.ascontiguousarray(host_u16[:, n_head:]).view(np.float16)
+        return head, grids.reshape(-1, d, d, d)
 
     def extract_batch(self, latents: jnp.ndarray) -> List[TriangleMesh]:
         """All fruits of a submap: one vmapped TPU decode, host MT per fruit.

@@ -321,3 +321,47 @@ def test_mesher_vertex_sdf_bound_real_decoder(voxels_dim):
         f"p95 vertex distance {np.percentile(dist, 95):.6f} vs voxel {voxel:.6f}")
     assert np.percentile(dist, 99.9) < 1.0 * voxel, (
         f"p99.9 vertex distance {np.percentile(dist, 99.9):.6f} vs voxel {voxel:.6f}")
+
+
+def test_pack_solve_with_grids_roundtrip():
+    """pack_solve_with_grids ships the solver's packed f32 result bit-exactly
+    and the f16 SDF grids in one uint16 buffer; unpack must reproduce both
+    against the separate-fetch path (lm.pack_result + decode_grids_async)."""
+    import jax.numpy as jnp
+
+    from hortimapping_tpu.models.workspace import config_decoder
+    from hortimapping_tpu.optim.lm import pack_result
+    from hortimapping_tpu.optim.state import OptResult
+
+    asset = os.path.join(os.path.dirname(__file__), "..", "assets",
+                         "synthetic_small_8")
+    if not os.path.isdir(asset):
+        pytest.skip("synthetic assets not built")
+    params, spec = config_decoder(asset)
+    mesher = MeshExtractor(params, spec, voxels_dim=24, cube_radius=0.1)
+
+    B = 3
+    rng = np.random.default_rng(3)
+    res = OptResult(
+        latent=jnp.asarray(rng.normal(size=(B, spec.code_length)) * 0.3,
+                           jnp.float32),
+        T_ow=jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+                         + rng.normal(size=(B, 4, 4)).astype(np.float32) * 1e-3),
+        iter_count=jnp.arange(B, dtype=jnp.int32) + 5,
+        failed=jnp.zeros((B,), bool),
+        converged=jnp.ones((B,), bool),
+    )
+    host = np.asarray(mesher.pack_solve_with_grids(res))
+    head, grids = mesher.unpack_solve_with_grids(host)
+
+    np.testing.assert_array_equal(head, np.asarray(pack_result(res)))
+    want_grids = np.asarray(mesher.decode_grids_async(res.latent)).reshape(
+        B, 24, 24, 24)
+    np.testing.assert_array_equal(grids, want_grids)
+
+    # and the meshes built from the unpacked grids match the direct path
+    got = mesher.meshes_from_grids(grids)
+    want = mesher.meshes_from_grids(want_grids)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g.vertices, w.vertices)
+        np.testing.assert_array_equal(g.faces, w.faces)
