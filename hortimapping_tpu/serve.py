@@ -358,14 +358,20 @@ class CompletionServer:
                     self.cube_radius, self._mesh, sample.pose_known,
                     latent_table=self.latent_table,
                 )
-                np.asarray(_get_pack_jit()(res))
+                if self.mesher is not None:
+                    np.asarray(self.mesher.pack_solve_with_grids(res))
+                else:
+                    np.asarray(_get_pack_jit()(res))
             else:
-                _, packed = joint_opt_packed(
+                res, packed = joint_opt_packed(
                     self.params, self.spec, self.cfg, obs, lat0, T0,
                     self.cube_radius, sample.pose_known,
                     latent_table=self.latent_table,
                 )
-                np.asarray(packed)
+                if self.mesher is not None:
+                    np.asarray(self.mesher.pack_solve_with_grids(res))
+                else:
+                    np.asarray(packed)
 
     def stats(self) -> Dict:
         with self._lock:
@@ -489,13 +495,19 @@ class CompletionServer:
                         self.cube_radius, reqs[0].pose_known,
                         latent_table=self.latent_table,
                     )
-                # dispatch the mesh-grid decode too: it queues behind the
-                # solve on device and runs while the results cross the tunnel
-                grids_dev = (self.mesher.decode_grids_async(res.latent[:n])
-                             if self.mesher is not None else None)
+                # with meshing on, the SDF grids ride THE SAME uint16 buffer
+                # as the packed solve result (mesher.pack_solve_with_grids):
+                # completion costs ONE fetch instead of packed + grids. The
+                # buffer keeps the padded solve width, so there is still one
+                # compile variant per bucket width (pad-lane grids cost
+                # device flops + transfer bytes, both < the saved round trip)
+                combo_dev = None
+                if self.mesher is not None:
+                    combo_dev = self.mesher.pack_solve_with_grids(res)
+                    packed_dev = None
                 return dict(reqs=reqs, futs=futs, t_sub=t_sub, n=n,
                             C=res.latent.shape[1], packed_dev=packed_dev,
-                            grids_dev=grids_dev)
+                            combo_dev=combo_dev)
             except Exception as e:  # deliver the failure to every waiter
                 for fut in futs:
                     if not fut.done():
@@ -510,18 +522,23 @@ class CompletionServer:
                 # field each pay a remote-TPU round trip with polling
                 # backoff (~250 ms each over the axon tunnel — measured
                 # ~1.1 s/batch of pure fetch overhead vs ~0.38 s of solve)
-                packed = np.asarray(st["packed_dev"])
+                grids = None
+                if st["combo_dev"] is not None:
+                    packed, grids = self.mesher.unpack_solve_with_grids(
+                        np.asarray(st["combo_dev"]))
+                else:
+                    packed = np.asarray(st["packed_dev"])
                 latents = packed[:, :C]
                 T_ows = packed[:, C:C + 16].reshape(-1, 4, 4)
                 iters = packed[:, C + 16].astype(np.int32)
                 failed = packed[:, C + 17] > 0.5
                 conv = packed[:, C + 18] > 0.5
                 meshes = [None] * n
-                if st["grids_dev"] is not None:
+                if grids is not None:
                     T_wo = np.linalg.inv(T_ows[:n])
                     meshes = [
                         m.transform(T) for m, T in zip(
-                            self.mesher.meshes_from_grids(st["grids_dev"]), T_wo)
+                            self.mesher.meshes_from_grids(grids[:n]), T_wo)
                     ]
                 now = time.perf_counter()
                 for i, fut in enumerate(st["futs"]):
