@@ -71,9 +71,27 @@ def main(variants) -> None:
 
     table = load_latent_vectors(os.path.join(root, "assets", "synthetic_pepper_32"))
 
+    from hortimapping_tpu.ops.mesher import MeshExtractor
+
+    mesher = MeshExtractor(params, spec, voxels_dim=40, cube_radius=0.08)
+
     for name in variants:
-        c = named[name]
-        if name.startswith("retr_"):
+        mesh_out = name.endswith("_mesh")
+        c = named[name.removesuffix("_mesh")]
+        if mesh_out:
+            # the full robot deliverable: solve + completed mesh + pose in
+            # ONE fetch (mesher.pack_solve_with_grids combo buffer)
+            def solve(obs1=obs1, T0=T0, c=c):
+                res = retrieval_joint_opt(
+                    params, spec, c, table, obs1, T0, 0.08,
+                    n_score_pts=128, n_scales=3, score_bf16=True)
+                host = np.asarray(mesher.pack_solve_with_grids(res))
+                head, grids = mesher.unpack_solve_with_grids(host)
+                T_wo = np.linalg.inv(head[:, spec.code_length:
+                                          spec.code_length + 16].reshape(4, 4))
+                mesher.meshes_from_grids(grids)[0].transform(T_wo)
+                return head
+        elif name.startswith("retr_"):
             # retrieval warm start + solve + pack, still ONE program
             @partial(jax.jit, static_argnames=())
             def solve(obs1=obs1, T0=T0, c=c):
