@@ -147,6 +147,13 @@ class JointOptConfig:
     # the rounding (wild probe: CD 0.486 vs 0.481 mm at ~1.6 vs ~7.5
     # ms/fruit of scoring)
     retrieval_score_bf16: bool = False
+    # prior-shrinkage penalty: score += w * ||code - table_mean|| / sqrt(C).
+    # Under weak observability (one-view partial clouds) many codes fit the
+    # visible patch and the unobserved side is unconstrained; penalizing
+    # distance from the table mean makes retrieval hedge toward the safest
+    # prior instead of committing to an arbitrary well-fitting backside.
+    # 0 = off; w -> inf recovers the reference's mean init.
+    retrieval_prior_w: float = 0.0
     multi_start: int = 1
     # outlier gates (applied by drivers after optimization)
     outlier_scale_min: float = 0.5
@@ -282,6 +289,7 @@ class JointOptConfig:
             retrieval_scale_min=float(tpu.get("retrieval_scale_min", d.retrieval_scale_min)),
             retrieval_scale_max=float(tpu.get("retrieval_scale_max", d.retrieval_scale_max)),
             retrieval_score_bf16=bool(tpu.get("retrieval_score_bf16", d.retrieval_score_bf16)),
+            retrieval_prior_w=float(tpu.get("retrieval_prior_w", d.retrieval_prior_w)),
             multi_start=int(tpu.get("multi_start", d.multi_start)),
             outlier_scale_min=float(out.get("scale_min", d.outlier_scale_min)),
             outlier_scale_max=float(out.get("scale_max", d.outlier_scale_max)),

@@ -75,7 +75,8 @@ def _score_codes(
 
 
 @partial(jax.jit, static_argnames=("spec", "top_k", "n_score_pts", "n_scales",
-                                   "scale_min", "scale_max", "score_bf16"))
+                                   "scale_min", "scale_max", "score_bf16",
+                                   "prior_w"))
 def retrieval_init_batched(
     params: Params,
     spec: DecoderSpec,
@@ -89,6 +90,7 @@ def retrieval_init_batched(
     scale_max: float = 1.2,
     T_init: Optional[jnp.ndarray] = None,   # [B, 4, 4] pose init (None = identity)
     score_bf16: bool = False,
+    prior_w: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Retrieve the best (code, scale) start per fruit.
 
@@ -124,6 +126,15 @@ def retrieval_init_batched(
                                 bf16=score_bf16)
 
         s = jax.vmap(at_scale)(scales)                    # [S, N]
+        if prior_w > 0.0:
+            # shrink toward the table mean: under weak observability many
+            # codes fit the visible patch while the unobserved side is
+            # unconstrained — hedge toward the safest prior (prior_w -> inf
+            # recovers the reference's mean init)
+            mean_code = jnp.mean(latent_table, axis=0)
+            dist = jnp.linalg.norm(latent_table - mean_code[None, :],
+                                   axis=1) / jnp.sqrt(jnp.float32(C))
+            s = s + prior_w * dist[None, :]
         per_code = jnp.min(s, axis=0)                     # [N] best over scales
         _, top_idx = jax.lax.top_k(-per_code, top_k)      # K best codes
         s_top = s[:, top_idx]                             # [S, K]
@@ -170,6 +181,7 @@ def maybe_retrieval_init(
         scale_max=opt_cfg.retrieval_scale_max,
         T_init=T_ow0,
         score_bf16=opt_cfg.retrieval_score_bf16,
+        prior_w=opt_cfg.retrieval_prior_w,
     )
     return lat, T
 
@@ -206,6 +218,7 @@ def warmstart_solve(
             scale_max=opt_cfg.retrieval_scale_max,
             T_init=T_ow0,
             score_bf16=opt_cfg.retrieval_score_bf16,
+            prior_w=opt_cfg.retrieval_prior_w,
         )
     if top_codes is not None and opt_cfg.multi_start > 1:
         K = min(opt_cfg.multi_start, opt_cfg.retrieval_top_k)
@@ -254,6 +267,7 @@ def retrieval_joint_opt(
         top_k=top_k, n_score_pts=n_score_pts, n_scales=n_scales,
         scale_min=scale_min, scale_max=scale_max, T_init=T_init,
         score_bf16=score_bf16,
+        prior_w=cfg.retrieval_prior_w,
     )
     solver = (coarse_to_fine_joint_opt if cfg.coarse_to_fine
               else shape_pose_joint_opt_batched)

@@ -184,3 +184,15 @@ def test_tpu_family_yaml_blocks_parse():
     tpu_opt = dict(cfg["opt"])
     tpu_opt.pop("tpu")
     assert tpu_opt == base["opt"]
+
+    # single-frame greenhouse: retrieval at UNIT scale (one view cannot
+    # disambiguate scale — the scale grid misfired there, docs/PERF.md)
+    cfg = load_config(os.path.join(root, "cka_pepper_single_tpu.yaml"))
+    oc = JointOptConfig.from_dict(cfg)
+    assert oc.init_mode == "retrieval"
+    assert oc.retrieval_n_scales == 1
+    assert oc.retrieval_scale_min == 1.0 and oc.retrieval_scale_max == 1.0
+    assert oc.scale_on is True  # the SOLVER still optimizes scale
+    tpu_opt = dict(cfg["opt"])
+    tpu_opt.pop("tpu")
+    assert tpu_opt == base["opt"]

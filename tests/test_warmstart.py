@@ -259,3 +259,25 @@ def test_retrieval_bf16_scoring_ranks_like_f32():
         top_k=4, n_score_pts=128, score_bf16=True)
     np.testing.assert_allclose(np.asarray(lat_bf16), np.asarray(lat_f32), atol=0)
     np.testing.assert_allclose(np.asarray(T_bf16), np.asarray(T_f32), atol=0)
+
+
+def test_retrieval_prior_shrinkage():
+    """retrieval_prior_w shrinks the retrieval toward the table mean: at a
+    huge weight the retrieved code is the table code closest to the mean,
+    regardless of fit (prior_w -> inf ~ the reference's mean init). (The
+    fit-dominant prior_w=0 ranking is pinned on the flagship decoder by
+    test_retrieval_picks_generating_code_flagship — the 8-wide test decoder
+    cannot discriminate fit.)"""
+    params, spec = config_decoder(ASSET_DIR)
+    table, obs, _ = _table_and_fruits(spec, n_fruits=2)
+
+    lat_pr, _, _, _ = retrieval_init_batched(
+        params, spec, table, obs.points_w, obs.point_valid,
+        top_k=4, n_score_pts=64, n_scales=1, scale_min=1.0, scale_max=1.0,
+        prior_w=1e6,
+    )
+    mean_code = np.asarray(table).mean(axis=0)
+    nearest = np.asarray(table)[
+        np.linalg.norm(np.asarray(table) - mean_code, axis=1).argmin()]
+    for b in range(2):
+        np.testing.assert_array_equal(np.asarray(lat_pr[b]), nearest)

@@ -36,10 +36,11 @@ N_FRAMES = int(os.environ.get("N_FRAMES", "5"))
 def variant_tpu_block(name: str) -> tuple:
     """-> (opt.tpu dict, max_iter override or None).
 
-    Variant grammar: base[_s1][_tr][_itN]; base = mean | retrieval |
+    Variant grammar: base[_s1][_prN][_tr][_itN]; base = mean | retrieval |
     retrieval_msK. `_s1` scores the retrieval at unit scale only — for
     SE(3) workloads (lab) where an init-scale offset could never be
-    optimized away."""
+    optimized away, and for one-view workloads where scale is ambiguous.
+    `_prN` sets the prior-shrinkage penalty retrieval_prior_w = N/100."""
     tpu: dict = {}
     max_iter = None
     base = name
@@ -49,6 +50,9 @@ def variant_tpu_block(name: str) -> tuple:
     if base.endswith("_tr"):
         tpu["trust_region"] = True
         base = base[:-3]
+    if "_pr" in base:
+        base, pr = base.rsplit("_pr", 1)
+        tpu["retrieval_prior_w"] = int(pr) / 100.0
     if base.endswith("_c2f"):
         # the mild two-resolution schedule from the round-2 negative result
         # (docs/PERF.md): re-checkable against the fixed NN metric
