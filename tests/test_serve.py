@@ -106,17 +106,25 @@ def test_serve_multiple_waves_reuse_program():
 
 
 def test_serve_meshing():
+    """Meshing via the one-fetch combo buffer (pack_solve_with_grids), on
+    both the single-device path (the TPU production shape) and the
+    fruit-sharded path (8-virtual-device CPU mesh); meshes must agree."""
     from hortimapping_tpu.ops.mesher import MeshExtractor
 
     params, spec = config_decoder(ASSET_DIR)
     mesher = MeshExtractor(params, spec, voxels_dim=24, cube_radius=0.1)
     reqs = _requests(spec, 2, seed=7)
-    with CompletionServer(params, spec, CFG, cube_radius=0.1, max_batch=2,
-                          mesher=mesher) as srv:
-        results = [srv.submit(r).result(timeout=300) for r in reqs]
-    for r in results:
-        assert r.mesh is not None
-        assert r.mesh.vertices.shape[0] > 0
+    by_path = {}
+    for use_mesh in (False, True):
+        with CompletionServer(params, spec, CFG, cube_radius=0.1, max_batch=2,
+                              mesher=mesher, use_mesh=use_mesh) as srv:
+            results = [srv.submit(r).result(timeout=300) for r in reqs]
+        for r in results:
+            assert r.mesh is not None
+            assert r.mesh.vertices.shape[0] > 0
+        by_path[use_mesh] = [np.asarray(r.mesh.vertices) for r in results]
+    for a, b in zip(by_path[False], by_path[True]):
+        np.testing.assert_allclose(a, b, atol=1e-4)
 
 
 def test_serve_mixed_shape_buckets():
