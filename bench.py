@@ -66,12 +66,15 @@ def main():
     # (~16x cheaper per iteration, capped at 8 iterations — the retrieval
     # warm start below converges the coarse problem that fast; a 25-cap
     # budget measures identically on held-out seeds at +3.4 ms/fruit),
-    # phase B full-resolution polish capped at 2. Measured AGAINST the
-    # single-phase reference-parity solve on this workload
-    # (tools/perf_probe.py, 16 fruits vs analytic GT, tuning AND held-out
-    # seeds, device NN-metric with the round-3 cancellation fix):
-    # 189 -> ~18 ms/fruit solve with mean Chamfer-L1 3.12 vs 3.79 mm
-    # (18% BETTER, warm start included) and max CD 3.38 vs 4.17 mm — the
+    # phase B polish capped at 2 iterations, itself subsampled at 0.6x
+    # rays / 0.75x samples / 0.6x points with ALL frames (the full-res
+    # polish was ~2/3 of device time; the subsampled one is held-out
+    # BETTER on mean CD and equal on max CD across three seed sets).
+    # Measured AGAINST the single-phase reference-parity solve on this
+    # workload (tools/perf_probe.py, 16 fruits vs analytic GT, tuning AND
+    # held-out seeds, device NN-metric with the round-3 cancellation fix):
+    # 189 -> ~11 ms/fruit solve with mean Chamfer-L1 2.99-3.01 vs 3.79 mm
+    # (~21% BETTER, warm start included) and max CD 3.39 vs 4.17 mm — the
     # speedup does not trade quality. docs/PERF.md has the sweep and the
     # challenge-config negative result (c2f stays per-config opt-in).
     cfg = JointOptConfig(
@@ -80,6 +83,7 @@ def main():
         coarse_to_fine=True, fine_max_iter=2,
         coarse_frame_stride=4, coarse_ray_frac=0.3, coarse_sample_frac=0.35,
         coarse_pts_frac=0.3, coarse_max_iter=8, coarse_fused_tr=64,
+        fine_ray_frac=0.6, fine_sample_frac=0.75, fine_pts_frac=0.6,
     )
     cube_radius = 0.08  # object_radius_max_m, wild_pepper.yaml
     mc_res_mm = 4.0

@@ -126,6 +126,14 @@ class JointOptConfig:
     coarse_pts_frac: float = 0.5
     coarse_max_iter: int = 0  # 0 = inherit max_iter
     fine_max_iter: int = 0    # 0 = inherit max_iter
+    # fine-phase subsampling (defaults = full resolution, the validated
+    # round-2 behavior). Fractions < 1 make phase B polish on a subsampled
+    # problem too — worth it only where held-out validation proves the
+    # quality holds (the wild bench workload; see docs/PERF.md round 3).
+    fine_frame_stride: int = 1
+    fine_ray_frac: float = 1.0
+    fine_sample_frac: float = 1.0
+    fine_pts_frac: float = 1.0
     # fused-kernel rays-per-tile for the COARSE phase only (0 = inherit
     # fused_tr). The coarse phase's sample axis is ~3x shorter, so a larger
     # ray tile keeps the kernel's matmul shapes efficient within the same
@@ -281,6 +289,10 @@ class JointOptConfig:
             coarse_pts_frac=float(tpu.get("coarse_pts_frac", d.coarse_pts_frac)),
             coarse_max_iter=int(tpu.get("coarse_max_iter", d.coarse_max_iter)),
             fine_max_iter=int(tpu.get("fine_max_iter", d.fine_max_iter)),
+            fine_frame_stride=int(tpu.get("fine_frame_stride", d.fine_frame_stride)),
+            fine_ray_frac=float(tpu.get("fine_ray_frac", d.fine_ray_frac)),
+            fine_sample_frac=float(tpu.get("fine_sample_frac", d.fine_sample_frac)),
+            fine_pts_frac=float(tpu.get("fine_pts_frac", d.fine_pts_frac)),
             coarse_fused_tr=int(tpu.get("coarse_fused_tr", d.coarse_fused_tr)),
             init_mode=str(tpu.get("init_mode", d.init_mode)),
             retrieval_top_k=int(tpu.get("retrieval_top_k", d.retrieval_top_k)),

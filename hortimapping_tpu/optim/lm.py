@@ -607,22 +607,26 @@ def _continue_joint_opt_batched(
                      final.converged)
 
 
-def subsample_observations(
-    obs: FruitObservations, cfg: JointOptConfig
+def _subsample(
+    obs: FruitObservations,
+    cfg: JointOptConfig,
+    stride: int,
+    ray_frac: float,
+    sample_frac: float,
+    pts_frac: float,
 ) -> Tuple[FruitObservations, JointOptConfig]:
-    """Build the coarse-phase observation buffers + config.
+    """Subsampled observation buffers + a shape-consistent config.
 
-    Keeps every `coarse_frame_stride`-th frame, the first fraction of the fg
-    and bg ray blocks (rays are randomly subsampled upstream,
-    `data/rays.py`, so a prefix is an unbiased subset), and the first
-    fraction of the surface points. Works on single or fruit-batched obs
-    (slicing is on the trailing axes).
+    Keeps every `stride`-th frame, the first fraction of the fg and bg ray
+    blocks (rays are randomly subsampled upstream, `data/rays.py`, so a
+    prefix is an unbiased subset), and the first fraction of the surface
+    points. Works on single or fruit-batched obs (slicing is on the
+    trailing axes).
     """
-    stride = cfg.coarse_frame_stride
-    n_fg = int(cfg.n_fg_pix * cfg.coarse_ray_frac)
-    n_bg = int(cfg.n_bg_pix * cfg.coarse_ray_frac)
-    n_pts = int(cfg.recon_n_pts * cfg.coarse_pts_frac)
-    M = max(int(cfg.n_sample_on_ray * cfg.coarse_sample_frac), 2)
+    n_fg = int(cfg.n_fg_pix * ray_frac)
+    n_bg = int(cfg.n_bg_pix * ray_frac)
+    n_pts = int(cfg.recon_n_pts * pts_frac)
+    M = max(int(cfg.n_sample_on_ray * sample_frac), 2)
     F = (cfg.n_frame + stride - 1) // stride
     fg0 = cfg.n_fg_pix
 
@@ -647,15 +651,29 @@ def subsample_observations(
         points_w=obs.points_w[..., :n_pts, :],
         point_valid=obs.point_valid[..., :n_pts],
     )
-    coarse_cfg = dataclasses.replace(
+    sub_cfg = dataclasses.replace(
         cfg,
         n_fg_pix=n_fg, n_bg_pix=n_bg, n_frame=F, n_sample_on_ray=M,
         recon_n_pts=n_pts,
-        max_iter=cfg.coarse_max_iter or cfg.max_iter,
         coarse_to_fine=False,
+    )
+    return coarse_obs, sub_cfg
+
+
+def subsample_observations(
+    obs: FruitObservations, cfg: JointOptConfig
+) -> Tuple[FruitObservations, JointOptConfig]:
+    """Build the coarse-phase observation buffers + config (see _subsample)."""
+    sub_obs, sub_cfg = _subsample(
+        obs, cfg, cfg.coarse_frame_stride, cfg.coarse_ray_frac,
+        cfg.coarse_sample_frac, cfg.coarse_pts_frac,
+    )
+    coarse_cfg = dataclasses.replace(
+        sub_cfg,
+        max_iter=cfg.coarse_max_iter or cfg.max_iter,
         fused_tr=cfg.coarse_fused_tr or cfg.fused_tr,
     )
-    return coarse_obs, coarse_cfg
+    return sub_obs, coarse_cfg
 
 
 @partial(jax.jit, static_argnames=("spec", "cfg", "cube_radius", "pose_known"))
@@ -700,8 +718,18 @@ def coarse_to_fine_joint_opt(
         params, spec, coarse_cfg, coarse_obs, latent0, T_ow0,
         cube_radius, pose_known,
     )
+    fine_obs = obs
+    fine_cfg = cfg
+    if (cfg.fine_frame_stride > 1 or cfg.fine_ray_frac < 1.0
+            or cfg.fine_sample_frac < 1.0 or cfg.fine_pts_frac < 1.0):
+        # optional subsampled polish: cheaper phase B where held-out
+        # validation proves quality holds (docs/PERF.md round 3)
+        fine_obs, fine_cfg = _subsample(
+            obs, cfg, cfg.fine_frame_stride, cfg.fine_ray_frac,
+            cfg.fine_sample_frac, cfg.fine_pts_frac,
+        )
     fine_cfg = dataclasses.replace(
-        cfg,
+        fine_cfg,
         max_iter=cfg.fine_max_iter or cfg.max_iter,
         coarse_to_fine=False,
         # the fine phase continues an optimization that is already past the
@@ -716,7 +744,7 @@ def coarse_to_fine_joint_opt(
     lat1 = (1.0 - ff) * r_a.latent + ff * latent0
     T1 = (1.0 - ff[..., None]) * r_a.T_ow + ff[..., None] * T_ow0
     r_b = shape_pose_joint_opt_batched(
-        params, spec, fine_cfg, obs, lat1, T1, cube_radius, pose_known,
+        params, spec, fine_cfg, fine_obs, lat1, T1, cube_radius, pose_known,
     )
     return r_b._replace(iter_count=r_a.iter_count + r_b.iter_count)
 

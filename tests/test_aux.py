@@ -126,6 +126,9 @@ def test_tpu_solver_yaml_block_parses():
     assert oc.coarse_max_iter == 8
     assert oc.coarse_fused_tr == 64
     assert oc.fine_max_iter == 2
+    assert oc.fine_ray_frac == 0.6
+    assert oc.fine_sample_frac == 0.75
+    assert oc.fine_pts_frac == 0.6
     # everything outside opt.tpu stays byte-identical with the parity config
     base = load_config(os.path.join(root, "wild_pepper.yaml"))
     tpu_opt = dict(cfg["opt"])

@@ -288,6 +288,44 @@ def test_coarse_to_fine_recovers_pose_and_shape(world):
         assert abs(s_est - 1.1) < 0.12, f"fruit {k}: scale {s_est} vs 1.1"
 
 
+def test_coarse_to_fine_subsampled_fine_phase(world):
+    """Fine-phase subsampling (`fine_ray_frac`/`fine_sample_frac`/
+    `fine_pts_frac` < 1, the shipped wild bench schedule): the cheaper
+    polish must hit the same quality bars as the full-resolution one, and
+    default fracs (1.0) must leave the phase-B observation buffers
+    untouched (regression for the _subsample refactor)."""
+    import dataclasses
+
+    from hortimapping_tpu.optim.lm import _subsample, coarse_to_fine_joint_opt
+
+    params, spec, cat, proj = world
+    center = np.array([0.4, 0.1, 0.2])
+    code_gt, T_wo_gt, obs, _ = _fruit(world, 11, center, scale=1.1)
+    obs_b = jax.tree_util.tree_map(lambda a: a[None], obs)
+    _, T_ow_init = _gt_pose(center + np.array([0.010, -0.008, 0.006]))
+    lat0 = jnp.zeros((1, spec.code_length))
+    T0 = jnp.asarray(T_ow_init, jnp.float32)[None]
+
+    # identity at default fracs: stride 1 / frac 1.0 is a no-op slice
+    sub_obs, sub_cfg = _subsample(obs_b, CFG, 1, 1.0, 1.0, 1.0)
+    for a, b in zip(jax.tree_util.tree_leaves(sub_obs),
+                    jax.tree_util.tree_leaves(obs_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert (sub_cfg.n_fg_pix, sub_cfg.n_sample_on_ray, sub_cfg.recon_n_pts) == (
+        CFG.n_fg_pix, CFG.n_sample_on_ray, CFG.recon_n_pts)
+
+    cfg = dataclasses.replace(
+        CFG, coarse_to_fine=True, fine_max_iter=15,
+        fine_ray_frac=0.6, fine_sample_frac=0.75, fine_pts_frac=0.6,
+    )
+    res = coarse_to_fine_joint_opt(params, spec, cfg, obs_b, lat0, T0, CUBE_RADIUS)
+    assert not bool(np.asarray(res.failed)[0])
+    terr = _translation_error(res.T_ow[0], T_wo_gt)
+    assert terr < 0.006, f"translation error {terr*1000:.1f} mm"
+    s_est = _scale_of(np.linalg.inv(np.asarray(res.T_ow[0])))
+    assert abs(s_est - 1.1) < 0.12, f"scale {s_est} vs 1.1"
+
+
 def test_robust_kernel_resists_outliers(world):
     """Contaminated observations: gross depth/point outliers must be damped
     by the Huber reweighting (optimizer.py:145-149,183-187) — including in

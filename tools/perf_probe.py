@@ -92,16 +92,21 @@ def main(variants):
             return dataclasses.replace(cfg, coarse_to_fine=True,
                                        fine_max_iter=int(name[7:])), lm.coarse_to_fine_joint_opt
         if name.startswith("c2f:") or name.startswith("c2ftr:"):
-            # c2f[tr]:<fine_cap>:<stride>:<ray_frac>:<sample_frac>:<coarse_cap>[:<coarse_fused_tr>]
+            # c2f[tr]:<fine_cap>:<stride>:<ray_frac>:<sample_frac>:<coarse_cap>
+            #   [:<coarse_fused_tr>[:<fine_ray_frac>:<fine_sample_frac>[:<fine_pts_frac>]]]
             parts = name.split(":")[1:]
             fine, stride, rf, sf, ccap = parts[:5]
             ctr = int(parts[5]) if len(parts) > 5 else 0
+            frf = float(parts[6]) if len(parts) > 6 else 1.0
+            fsf = float(parts[7]) if len(parts) > 7 else 1.0
+            fpf = float(parts[8]) if len(parts) > 8 else frf
             return dataclasses.replace(
                 cfg, coarse_to_fine=True, fine_max_iter=int(fine),
                 coarse_frame_stride=int(stride), coarse_ray_frac=float(rf),
                 coarse_sample_frac=float(sf), coarse_pts_frac=float(rf),
                 coarse_max_iter=int(ccap),
                 coarse_fused_tr=ctr,
+                fine_ray_frac=frf, fine_sample_frac=fsf, fine_pts_frac=fpf,
                 trust_region=name.startswith("c2ftr:"),
             ), lm.coarse_to_fine_joint_opt
         raise SystemExit(f"unknown variant {name}")
