@@ -642,7 +642,7 @@ def _subsample(
         [obs.depth_obs[..., ::stride, :n_fg], obs.depth_obs[..., ::stride, fg0:fg0 + n_bg]],
         axis=-1,
     )
-    coarse_obs = FruitObservations(
+    sub_obs = FruitObservations(
         T_wc=obs.T_wc[..., ::stride, :, :],
         rays=rays,
         ray_valid=ray_valid,
@@ -657,7 +657,7 @@ def _subsample(
         recon_n_pts=n_pts,
         coarse_to_fine=False,
     )
-    return coarse_obs, sub_cfg
+    return sub_obs, sub_cfg
 
 
 def subsample_observations(

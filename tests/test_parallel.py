@@ -149,7 +149,10 @@ def test_shard_coarse_to_fine_matches_single_device():
     params, spec = _world()
     obs, lat, T = _batch(spec, 8)
     cfg = dataclasses.replace(CFG, coarse_to_fine=True, fine_max_iter=2,
-                              coarse_frame_stride=2)
+                              coarse_frame_stride=2,
+                              # shipped subsampled-polish schedule shape
+                              fine_ray_frac=0.6, fine_sample_frac=0.75,
+                              fine_pts_frac=0.6)
 
     ref = coarse_to_fine_joint_opt(params, spec, cfg, obs, lat, T, cube_radius=0.1)
     res = shard_joint_opt(

@@ -47,6 +47,7 @@ def main(variants) -> None:
         cfg, coarse_to_fine=True, fine_max_iter=2, coarse_frame_stride=4,
         coarse_ray_frac=0.3, coarse_sample_frac=0.35, coarse_pts_frac=0.3,
         coarse_max_iter=8,
+        fine_ray_frac=0.6, fine_sample_frac=0.75, fine_pts_frac=0.6,
     )
     named = {"parity": cfg, "c2f": c2f, "retr_c2f": c2f,
              "tr": dataclasses.replace(cfg, trust_region=True)}

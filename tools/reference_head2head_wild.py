@@ -106,7 +106,10 @@ def main() -> None:
 
     import dataclasses
 
-    cfg_ret = dataclasses.replace(cfg_c2f, coarse_max_iter=8)
+    cfg_ret = dataclasses.replace(
+        cfg_c2f, coarse_max_iter=8,
+        fine_ray_frac=0.6, fine_sample_frac=0.75, fine_pts_frac=0.6,
+    )
     latent_table = load_latent_vectors(
         os.path.join(ROOT, "assets", "synthetic_pepper_32"))
     r_ret = retrieval_joint_opt(

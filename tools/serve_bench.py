@@ -79,6 +79,7 @@ def main() -> None:
             cfg, init_mode="retrieval", coarse_max_iter=8,
             retrieval_score_pts=128, retrieval_n_scales=3,
             retrieval_score_bf16=True,
+            fine_ray_frac=0.6, fine_sample_frac=0.75, fine_pts_frac=0.6,
         )
         latent_table = load_latent_vectors(
             os.path.join(ROOT, "assets", "synthetic_pepper_32"))
