@@ -53,7 +53,17 @@ def variant_tpu_block(name: str) -> tuple:
     if "_pr" in base:
         base, pr = base.rsplit("_pr", 1)
         tpu["retrieval_prior_w"] = int(pr) / 100.0
-    if base.endswith("_c2f"):
+    if base.endswith("_c2fw"):
+        # the wild-tuned annealing schedule (configs/wild_pepper_tpu.yaml):
+        # aggressive coarse phase + short SUBSAMPLED fine polish
+        tpu.update(coarse_to_fine=True, fine_max_iter=2,
+                   coarse_frame_stride=4, coarse_ray_frac=0.3,
+                   coarse_sample_frac=0.35, coarse_pts_frac=0.3,
+                   coarse_max_iter=8, coarse_fused_tr=64,
+                   fine_ray_frac=0.6, fine_sample_frac=0.75,
+                   fine_pts_frac=0.6)
+        base = base[:-5]
+    elif base.endswith("_c2f"):
         # the mild two-resolution schedule from the round-2 negative result
         # (docs/PERF.md): re-checkable against the fixed NN metric
         tpu.update(coarse_to_fine=True, fine_max_iter=2,

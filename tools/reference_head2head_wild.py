@@ -9,7 +9,14 @@ metrics) against our reference-parity solver and the two-resolution bench
 solver. This grounds the "faster AND better than the reference" claim in
 the actual reference implementation, not our parity mode.
 
-    python tools/reference_head2head_wild.py [--n-fruits 8]
+    python tools/reference_head2head_wild.py [--n-fruits 8] [--pose-noise]
+
+`--pose-noise` perturbs the initial pose identically on BOTH sides
+(trans sigma 1.5 cm, yaw +-20 deg, pitch/roll +-10 deg, scale 0.85-1.15 —
+the imperfect-submap-init regime the paper's wild pipeline actually runs,
+`/root/reference/utils.py:420-459` get_pose_init) and reports pose metrics
+(trans err mm, z-axis rot err deg, scale err %) next to the CDs, using the
+greenhouse-eval conventions (`eval_wild_single_frame.py:281-308`).
 
 The reference side is slow on CPU (~minutes per fruit at this workload);
 run in the background.
@@ -34,6 +41,9 @@ def main() -> None:
     ap.add_argument("--ours-only", action="store_true",
                     help="skip the slow CPU-torch reference side (print only "
                          "our rows, for combining with a prior reference run)")
+    ap.add_argument("--pose-noise", action="store_true",
+                    help="perturb the initial pose (both sides identically) "
+                         "and report pose metrics next to the CDs")
     args = ap.parse_args()
 
     import torch
@@ -68,7 +78,7 @@ def main() -> None:
     )
     cat = SyntheticCategory(spec=spec, base_radius=0.06)
     rng = np.random.default_rng(42)
-    obs_list, lat_list, T_list, gts = [], [], [], []
+    obs_list, lat_list, T_list, gts, T_wo_gts = [], [], [], [], []
     for b in range(args.n_fruits):
         code = (rng.normal(size=spec.code_length) * 0.3).astype(np.float32)
         T_wo = np.eye(4, dtype=np.float32)
@@ -76,10 +86,30 @@ def main() -> None:
         obs, gt = make_scene(cat, code, T_wo, n_frames=cfg.n_frame,
                              n_fg=cfg.n_fg_pix, n_bg=cfg.n_bg_pix,
                              n_points=cfg.recon_n_pts, seed=b)
+        T_wo_init = T_wo
+        if args.pose_noise:
+            # the imperfect-pose-init regime: same perturbation both sides
+            def rot(axis, deg):
+                a, c, s = np.radians(deg), None, None
+                c, s = np.cos(a), np.sin(a)
+                i, j = [(1, 2), (0, 2), (0, 1)][axis]
+                R = np.eye(3)
+                R[i, i] = R[j, j] = c
+                R[i, j], R[j, i] = -s, s
+                return R
+            R_n = (rot(1, rng.uniform(-20, 20))       # yaw (around y, the
+                   @ rot(0, rng.uniform(-10, 10))     # reference's init axis)
+                   @ rot(2, rng.uniform(-10, 10)))
+            s_n = rng.uniform(0.85, 1.15)
+            T_wo_init = T_wo.copy()
+            T_wo_init[:3, :3] = s_n * R_n @ T_wo[:3, :3]
+            T_wo_init[:3, 3] = T_wo[:3, 3] + rng.normal(size=3) * 0.015
+            T_wo_init = T_wo_init.astype(np.float32)
         obs_list.append(obs)
         lat_list.append(np.zeros(spec.code_length, np.float32))
-        T_list.append(np.linalg.inv(T_wo).astype(np.float32))
+        T_list.append(np.linalg.inv(T_wo_init).astype(np.float32))
         gts.append(gt)
+        T_wo_gts.append(T_wo)
     obs_b = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *obs_list)
     lat0, T0 = jnp.stack(lat_list), jnp.stack(T_list)
     mesher = MeshExtractor(params, spec, voxels_dim=40, cube_radius=0.08)
@@ -91,6 +121,26 @@ def main() -> None:
         for m, gt in zip(meshes, gts):
             cd.update(PointCloud(gt), m)
         return np.array(cd.cd_array)
+
+    def pose_errs(T_ows):
+        """(trans err [mm], z-axis rot err [deg], |scale err| [%]) per fruit,
+        greenhouse-eval conventions (pipeline/greenhouse.py:325-329)."""
+        from hortimapping_tpu.data.preprocess import get_deg_between_vectors
+
+        te, re_, se = [], [], []
+        for T_ow, T_wg in zip(np.asarray(T_ows), T_wo_gts):
+            T_wo = np.linalg.inv(T_ow)
+            s = np.linalg.det(T_wo[:3, :3]) ** (1.0 / 3.0)
+            te.append(np.linalg.norm(T_wg[:3, 3] - T_wo[:3, 3]) * 1e3)
+            re_.append(get_deg_between_vectors(T_wo[:3, 2] / s, T_wg[:3, 2]))
+            se.append(abs(s - 1.0) * 1e2)
+        return np.array(te), np.array(re_), np.array(se)
+
+    def pose_row(label, T_ows):
+        te, re_, se = pose_errs(T_ows)
+        print(f"{label} trans {te.mean():.2f} mm (max {te.max():.2f})  "
+              f"rot {re_.mean():.2f} deg (max {re_.max():.2f})  "
+              f"scale {se.mean():.2f}% (max {se.max():.2f})")
 
     # ---- ours ----
     r_par = lm.shape_pose_joint_opt_batched(params, spec, cfg, obs_b, lat0, T0, 0.08)
@@ -130,6 +180,12 @@ def main() -> None:
         for b in range(args.n_fruits):
             print(f"  fruit {b}: parity {cd_par[b]*1e3:.3f}  "
                   f"c2f {cd_c2f[b]*1e3:.3f}  retr {cd_ret[b]*1e3:.3f}")
+        if args.pose_noise:
+            print("\npose metrics (vs GT pose; init is perturbed):")
+            pose_row("init:               ", np.asarray(T0))
+            pose_row("ours parity:        ", r_par.T_ow)
+            pose_row("ours c2f:           ", r_c2f.T_ow)
+            pose_row("ours retrieval+c2f: ", r_ret.T_ow)
         return
 
     # ---- genuine reference ----
@@ -166,6 +222,13 @@ def main() -> None:
     for b in range(args.n_fruits):
         print(f"  fruit {b}: ref {cd_ref[b]*1e3:.3f}  parity {cd_par[b]*1e3:.3f}  "
               f"c2f {cd_c2f[b]*1e3:.3f}  retr {cd_ret[b]*1e3:.3f}")
+    if args.pose_noise:
+        print("\npose metrics (vs GT pose; init is perturbed):")
+        pose_row("init:               ", np.asarray(T0))
+        pose_row("genuine reference:  ", np.stack(T_refs))
+        pose_row("ours parity:        ", r_par.T_ow)
+        pose_row("ours c2f:           ", r_c2f.T_ow)
+        pose_row("ours retrieval+c2f: ", r_ret.T_ow)
 
 
 if __name__ == "__main__":
