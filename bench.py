@@ -106,17 +106,22 @@ def main():
 
     C = spec.code_length
 
-    def run():
-        # retrieval scoring + both c2f phases in ONE dispatched program
+    def dispatch():
+        # retrieval scoring + both c2f phases in ONE dispatched program;
+        # JAX dispatch is async, so this returns immediately with the packed
+        # device buffer still computing — the fetch below is the sync point
         res = retrieval_joint_opt(
             params, spec, cfg, latent_table, obs, T0, cube_radius,
             n_score_pts=128, n_scales=3, score_bf16=True,
         )
+        return mesher.pack_solve_with_grids(res)
+
+    def consume(pack):
         # solve result + SDF grids cross the tunnel in ONE bitcast-packed
         # fetch (mesher.pack_solve_with_grids): every separate np.asarray is
         # a round trip with polling backoff (~30-80 ms each measured; the
         # former two-fetch overlap scheme ran ~456 ms/rep, this ~395)
-        host = np.asarray(mesher.pack_solve_with_grids(res))
+        host = np.asarray(pack)
         head, grids = mesher.unpack_solve_with_grids(host)
         T_wo = np.linalg.inv(head[:, C:C + 16].reshape(-1, 4, 4))
         meshes = [
@@ -124,13 +129,23 @@ def main():
         ]
         return head, meshes
 
-    run()  # warmup: compile + first meshing
-    n_rep = 5
+    consume(dispatch())  # warmup: compile + first meshing
+    # steady-state throughput with ONE batch in flight (double-buffered):
+    # dispatch batch k+1 before fetching batch k, so the ~45 ms tunnel fetch
+    # + ~20 ms host marching tetrahedra of batch k run UNDER batch k+1's
+    # device solve — exactly how serve.py's pipelined worker consumes
+    # batches. Measured on this link: ~315 ms/rep sequential vs ~170 ms/rep
+    # pipelined for the identical program (docs/PERF.md round 3).
+    n_rep = 7
     reps = []
+    inflight = dispatch()
     for _ in range(n_rep):
         t0 = time.perf_counter()
-        res, meshes = run()
+        nxt = dispatch()
+        res, meshes = consume(inflight)
+        inflight = nxt
         reps.append(time.perf_counter() - t0)
+    consume(inflight)
     # median over reps: the remote-TPU link adds occasional multi-hundred-ms
     # hiccups that a mean would average into the device number
     import sys
