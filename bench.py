@@ -1,4 +1,4 @@
-"""Headline benchmark: batched per-fruit completion latency on one TPU chip.
+"""Headline benchmark: batched per-fruit completion THROUGHPUT on one TPU chip.
 
 Workload mirrors the reference's wild-pepper configuration
 (`/root/reference/configs/wild_pepper.yaml`: 10 frames x 400 rays x 30 ray
@@ -8,9 +8,15 @@ architecture: 32-d latent, 8x512 MLP). A whole submap's worth of fruits runs
 as ONE vmapped fused-LM program — the reference completes fruits one at a
 time in a Python loop at ~0.6 s each (`/root/reference/README.md:23`).
 
+The number is pipelined steady-state throughput (one batch in flight,
+exactly how serve.py's worker consumes batches), expressed per fruit; with
+one batch in flight, per-batch completion LATENCY is ~2x the rep time. The
+B=1 latency claim lives in tools/b1_latency.py (p50 31.6 ms solve / 41.5 ms
+incl. watertight mesh + pose — docs/PERF.md).
+
 Prints one JSON line:
-  {"metric": "per_fruit_latency", "value": <ms>, "unit": "ms",
-   "vs_baseline": <reference_seconds / measured_seconds>}
+  {"metric": "per_fruit_throughput", "value": <ms>, "unit": "ms",
+   "pipelined": true, "vs_baseline": <reference_seconds / measured_seconds>}
 (vs_baseline > 1 means faster than the published reference number.)
 """
 
@@ -139,12 +145,16 @@ def main():
     n_rep = 7
     reps = []
     inflight = dispatch()
-    for _ in range(n_rep):
+    # rep 0 is discarded: its in-flight batch was dispatched before the
+    # timer started (a head start equal to the loop-entry overhead), which
+    # biases it fast — the timed reps all pay the full dispatch+consume cost
+    for i in range(n_rep + 1):
         t0 = time.perf_counter()
         nxt = dispatch()
         res, meshes = consume(inflight)
         inflight = nxt
-        reps.append(time.perf_counter() - t0)
+        if i > 0:
+            reps.append(time.perf_counter() - t0)
     consume(inflight)
     # median over reps: the remote-TPU link adds occasional multi-hundred-ms
     # hiccups that a mean would average into the device number
@@ -157,9 +167,14 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "per_fruit_latency",
+                "metric": "per_fruit_throughput",
                 "value": round(per_fruit_s * 1e3, 3),
                 "unit": "ms",
+                "pipelined": True,
+                "note": "steady-state throughput per fruit, one batch in "
+                        "flight (serve.py worker schedule); B=1 p50 latency "
+                        "is 31.6 ms solve / 41.5 ms incl. mesh+pose "
+                        "(tools/b1_latency.py, docs/PERF.md)",
                 "vs_baseline": round(BASELINE_PER_FRUIT_S / per_fruit_s, 2),
             }
         )
