@@ -29,7 +29,13 @@ import time
 import numpy as np
 
 BASELINE_PER_FRUIT_S = 0.6  # /root/reference/README.md:23
-N_FRUITS = 16
+# B=32 from the round-4 batch-size sweep (tools/bsweep.py, docs/PERF.md):
+# the solve is device-bound at ~9.3-9.5 ms/fruit (solve-only sequential:
+# 11.4/10.2/10.0 ms/fruit at B=16/32/64 — linear device time, only the
+# ~30 ms fixed link round trip amortizes), and pipelined end-to-end is
+# 11.1/10.7/11.0/11.7 at B=16/32/48/64: B>=48 loses to host meshing on
+# this 1-core host and link-variance; 32 is the plateau.
+N_FRUITS = 32
 ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets")
 
 
@@ -57,15 +63,10 @@ def build_batch(spec, cfg, n_fruits: int):
     return obs, jnp.stack(lat_list), jnp.stack(T_list)
 
 
-def main():
-    import jax
-
+def bench_cfg():
+    """The shipped bench solver config (shared with tools/bsweep.py)."""
     from hortimapping_tpu.config import JointOptConfig
-    from hortimapping_tpu.models.workspace import config_decoder
-    from hortimapping_tpu.ops.mesher import MeshExtractor
-    from hortimapping_tpu.optim.lm import coarse_to_fine_joint_opt
 
-    params, spec = config_decoder(os.path.join(ASSETS, "synthetic_pepper_32"))
     # wild_pepper.yaml workload shapes (configs/wild_pepper.yaml:30-49), solved
     # with the two-resolution schedule (optim/lm.coarse_to_fine_joint_opt):
     # phase A on every 4th frame at 0.3x rays / 0.35x samples / 0.3x points
@@ -83,7 +84,7 @@ def main():
     # (~21% BETTER, warm start included) and max CD 3.39 vs 4.17 mm — the
     # speedup does not trade quality. docs/PERF.md has the sweep and the
     # challenge-config negative result (c2f stays per-config opt-in).
-    cfg = JointOptConfig(
+    return JointOptConfig(
         scale_on=True, n_fg_pix=200, n_bg_pix=200, n_frame=10,
         n_sample_on_ray=30, recon_n_pts=2000, max_iter=50,
         coarse_to_fine=True, fine_max_iter=2,
@@ -91,6 +92,14 @@ def main():
         coarse_pts_frac=0.3, coarse_max_iter=8, coarse_fused_tr=64,
         fine_ray_frac=0.6, fine_sample_frac=0.75, fine_pts_frac=0.6,
     )
+
+
+def main():
+    from hortimapping_tpu.models.workspace import config_decoder
+    from hortimapping_tpu.ops.mesher import MeshExtractor
+
+    params, spec = config_decoder(os.path.join(ASSETS, "synthetic_pepper_32"))
+    cfg = bench_cfg()
     cube_radius = 0.08  # object_radius_max_m, wild_pepper.yaml
     mc_res_mm = 4.0
     voxels_dim = int(2 * cube_radius * 1e3 / mc_res_mm)  # = 40

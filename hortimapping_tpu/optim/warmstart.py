@@ -76,7 +76,7 @@ def _score_codes(
 
 @partial(jax.jit, static_argnames=("spec", "top_k", "n_score_pts", "n_scales",
                                    "scale_min", "scale_max", "score_bf16",
-                                   "prior_w"))
+                                   "prior_w", "score_chunk"))
 def retrieval_init_batched(
     params: Params,
     spec: DecoderSpec,
@@ -91,6 +91,7 @@ def retrieval_init_batched(
     T_init: Optional[jnp.ndarray] = None,   # [B, 4, 4] pose init (None = identity)
     score_bf16: bool = False,
     prior_w: float = 0.0,
+    score_chunk: int = 16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Retrieve the best (code, scale) start per fruit.
 
@@ -153,7 +154,29 @@ def retrieval_init_batched(
             jax.vmap(scale_T)(best_scale_per_k),
         )
 
-    return jax.vmap(per_fruit)(points_w, point_valid, T_init)
+    B = points_w.shape[0]
+    if B <= score_chunk:
+        return jax.vmap(per_fruit)(points_w, point_valid, T_init)
+    # Large batches: a full-batch scoring vmap materializes a
+    # [B, S, N*P, hidden] activation that can exceed the 16 GB HBM
+    # (B=64 x 3 scales x 256 codes x 128 pts x 512 wide = 6 GB bf16, and
+    # XLA holds two copies — measured OOM on v5e). Serialize the fruit axis
+    # in score_chunk-wide blocks with lax.map (CLAUDE.md pattern): peak
+    # activation scales with the chunk, wall time stays matmul-bound.
+    nb = -(-B // score_chunk)
+    pad = nb * score_chunk - B
+
+    def blockify(a):
+        if pad:
+            a = jnp.concatenate([a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])])
+        return a.reshape((nb, score_chunk) + a.shape[1:])
+
+    out = jax.lax.map(
+        lambda xs: jax.vmap(per_fruit)(*xs),
+        (blockify(points_w), blockify(point_valid), blockify(T_init)),
+    )
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((nb * score_chunk,) + a.shape[2:])[:B], out)
 
 
 def maybe_retrieval_init(

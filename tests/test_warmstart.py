@@ -121,6 +121,26 @@ def test_retrieval_scale_candidates():
     assert err < 0.003, f"surface radii err {err*1e3:.2f} mm (sigma {sigma:.3f})"
 
 
+def test_retrieval_chunked_matches_full_vmap():
+    """B > score_chunk serializes the scoring in lax.map blocks (the
+    full-batch vmap OOMs HBM at B=64 — a [B,S,N*P,512] bf16 activation);
+    the chunked path must be numerically identical, including the padded
+    remainder block."""
+    params, spec = config_decoder(ASSET_DIR)
+    table, obs3, _ = _table_and_fruits(spec, n_fruits=3)
+    # 7 fruits with chunk 3 -> 3 blocks, last one padded (7 = 2*3 + 1)
+    pts = jnp.concatenate([obs3.points_w] * 3, axis=0)[:7]
+    pv = jnp.concatenate([obs3.point_valid] * 3, axis=0)[:7]
+    want = retrieval_init_batched(
+        params, spec, table, pts, pv, top_k=4, n_score_pts=64,
+        score_chunk=16)  # 7 <= 16: plain vmap
+    got = retrieval_init_batched(
+        params, spec, table, pts, pv, top_k=4, n_score_pts=64,
+        score_chunk=3)   # serialized blocks + padded remainder
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+
 def test_multi_start_picks_lowest_objective():
     """multi_start must return, per fruit, exactly the per-start solve whose
     final LM objective is lowest."""
