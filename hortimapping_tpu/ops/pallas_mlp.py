@@ -114,6 +114,15 @@ def pack_params(
     return (w0, wm, wl, p, b0, bm, bl)
 
 
+def _prec(cdt):
+    """Matmul precision for the kernels' compute dtype. Mosaic lowers f32
+    dots to a SINGLE bf16 MXU pass at default precision — measured on v5e:
+    cdt=f32 and cdt=bf16 produced bit-identical kernel outputs — so an f32
+    compute dtype must request HIGHEST (multi-pass) to actually be f32.
+    bf16 inputs keep the default single pass (that IS the production mode)."""
+    return jax.lax.Precision.HIGHEST if cdt == jnp.float32 else None
+
+
 def _fwd_chain(x, w0, wm, wl, p, b0, bm, bl, ps: PackedSpec, cdt, save=None):
     """Forward chain on one tile. x: [T, LANE] f32 -> tanh out [T, LANE]
     (column 0 real). Appends post-ReLU activations to `save` if given —
@@ -121,23 +130,26 @@ def _fwd_chain(x, w0, wm, wl, p, b0, bm, bl, ps: PackedSpec, cdt, save=None):
     masks and matmul inputs, so keeping them bf16 halves the VMEM they pin
     (which is what bounds the ray-tile size of the fused render kernel)."""
     f32 = jnp.float32
-    h = jnp.dot(x.astype(cdt), w0, preferred_element_type=f32) + b0
+    pr = _prec(cdt)
+    h = jnp.dot(x.astype(cdt), w0, preferred_element_type=f32, precision=pr) + b0
     h = jnp.maximum(h, 0.0)
     if save is not None:
         save.append(h.astype(cdt))
     skip = None
     if ps.li:
-        skip = jnp.dot(x.astype(cdt), p, preferred_element_type=f32)
+        skip = jnp.dot(x.astype(cdt), p, preferred_element_type=f32, precision=pr)
     for j in range(ps.n_mid):
         if j + 1 == ps.li:
             h = h + skip
-        h = jnp.dot(h.astype(cdt), wm[j], preferred_element_type=f32) + bm[j]
+        h = jnp.dot(h.astype(cdt), wm[j], preferred_element_type=f32,
+                    precision=pr) + bm[j]
         h = jnp.maximum(h, 0.0)
         if save is not None:
             save.append(h.astype(cdt))
     if ps.n_mid + 1 == ps.li:
         h = h + skip
-    return jnp.tanh(jnp.dot(h.astype(cdt), wl, preferred_element_type=f32) + bl)
+    return jnp.tanh(jnp.dot(h.astype(cdt), wl, preferred_element_type=f32,
+                            precision=pr) + bl)
 
 
 def _relu_mask(a):
@@ -150,7 +162,7 @@ def _dot_t(g, w, cdt):
     """g [T, out] @ w^T -> [T, in], contracting the output dim of w [in, out]."""
     return jax.lax.dot_general(
         g.astype(cdt), w, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_prec(cdt),
     )
 
 
@@ -310,8 +322,13 @@ def _shared_latent_kernel(px_ref, py_ref, pz_ref, lat_ref,
     sel = (jax.lax.broadcasted_iota(jnp.int32, (rows, T), 1) // cols
            == jax.lax.broadcasted_iota(jnp.int32, (rows, T), 0)).astype(f32)
 
+    # layout matmuls move values, they must not round them (Mosaic's default
+    # f32 dot is a single bf16 pass — see _prec) — HIGHEST is exact for f32
+    lprec = jax.lax.Precision.HIGHEST
+
     def to_sample(v):
-        return jnp.sum(jnp.dot(sel2, v.astype(f32), preferred_element_type=f32)
+        return jnp.sum(jnp.dot(sel2, v.astype(f32), preferred_element_type=f32,
+                               precision=lprec)
                        * onehot, axis=1, keepdims=True)
 
     x = (
@@ -323,7 +340,8 @@ def _shared_latent_kernel(px_ref, py_ref, pz_ref, lat_ref,
     y = _fwd_chain(x, w0_ref[:], wm_ref[:], wl_ref[:], p_ref[:],
                    b0_ref[:], bm_ref[:], bl_ref[:], ps, cdt)
     sdf_s = jnp.sum(y * (lane == 0).astype(f32), axis=1, keepdims=True)
-    out_ref[:] = jnp.dot(sel, sdf_s * onehot, preferred_element_type=f32)
+    out_ref[:] = jnp.dot(sel, sdf_s * onehot, preferred_element_type=f32,
+                         precision=lprec)
 
 
 def mlp_sdf_shared_latent(

@@ -76,6 +76,15 @@ import os as _os
 _SKIP = frozenset(filter(None, _os.environ.get("HORTI_FUSED_SKIP", "").split(",")))
 
 
+# Layout/shift/permutation matmuls are data MOVEMENT (0/1 matrices): they
+# must not round the values they move. Mosaic's default f32 dot is a single
+# bf16 MXU pass (measured: it rounded every value routed through the
+# selectors to bf16 — a systematic, unintended precision loss in the
+# transmittance/Jacobian assembly); HIGHEST makes them exact for f32 at
+# negligible cost (these dots are ~0.1% of kernel FLOPs vs the MLP chain).
+_PREC = jax.lax.Precision.HIGHEST
+
+
 def _iota2(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
 
@@ -155,12 +164,12 @@ def _fused_render_kernel(
 
         def to_sample(v_rm):  # [TR, Mp] -> [T, 1]
             return jnp.sum(
-                jnp.dot(sel2, v_rm, preferred_element_type=f32) * onehot,
+                jnp.dot(sel2, v_rm, preferred_element_type=f32, precision=_PREC) * onehot,
                 axis=1, keepdims=True,
             )
 
         def to_ray(v_sm):  # [T, 1] -> [TR, Mp]
-            return jnp.dot(sel, v_sm * onehot, preferred_element_type=f32)
+            return jnp.dot(sel, v_sm * onehot, preferred_element_type=f32, precision=_PREC)
 
         # ---- decoder forward on the dense tile (loss.py:48-49) ----
         lane = _iota2((T, LANE), 1)
@@ -194,7 +203,7 @@ def _fused_render_kernel(
             w = occ
             J0 = input_grad_chain(y, acts, x, wl_ref[:], wm_ref[:], w0_ref[:],
                                       p_ref[:], ps, cdt) if "bwd" not in _SKIP else x
-            jd_ref[:] = jnp.dot(sel, J0 * to_sample(w), preferred_element_type=f32)
+            jd_ref[:] = jnp.dot(sel, J0 * to_sample(w), preferred_element_type=f32, precision=_PREC)
             jm_ref[:] = jd_ref[:]
             return
 
@@ -207,11 +216,11 @@ def _fused_render_kernel(
         k = 1
         while k < Mp:
             sh = (_iota2((Mp, Mp), 1) - _iota2((Mp, Mp), 0) == k).astype(f32)
-            shifted = jnp.dot(acc, sh, preferred_element_type=f32) + (m_idx < k).astype(f32)
+            shifted = jnp.dot(acc, sh, preferred_element_type=f32, precision=_PREC) + (m_idx < k).astype(f32)
             acc = acc * shifted
             k *= 2
         sh1 = (_iota2((Mp, Mp), 0) + 1 == _iota2((Mp, Mp), 1)).astype(f32)
-        acc_aug = jnp.dot(acc, sh1, preferred_element_type=f32) + (m_idx == 0).astype(f32)
+        acc_aug = jnp.dot(acc, sh1, preferred_element_type=f32, precision=_PREC) + (m_idx == 0).astype(f32)
         term_prob = occ * acc_aug                                          # [TR, Mp]
         term_end = jnp.sum(acc * (m_idx == M_real - 1).astype(f32), axis=1, keepdims=True)
         occ_ray = jnp.sum(term_prob, axis=1, keepdims=True)                # [TR, 1]
@@ -221,7 +230,7 @@ def _fused_render_kernel(
         # ---- per-sample derivative of depth/mask wrt occupancy (loss.py:100-127) ----
         denom = jnp.where(one_minus <= 0.0, 1.0, one_minus)
         ut = (_iota2((Mp, Mp), 0) >= _iota2((Mp, Mp), 1)).astype(f32)      # suffix sum
-        suffix = jnp.dot(acc * real.astype(f32), ut, preferred_element_type=f32)
+        suffix = jnp.dot(acc * real.astype(f32), ut, preferred_element_type=f32, precision=_PREC)
         de_do = suffix * delta_d / denom
         dm_do = term_end / denom
         nz = de_do > min_grad_th
@@ -272,12 +281,12 @@ def _fused_render_kernel(
                                      p_ref[:], ps, cdt)                    # [T, LANE]
             xyz_mask = ((lane >= C) & (lane < C + 3)).astype(f32)
             p_lanes = x * xyz_mask                                         # p at lanes C..C+2
-            J = jnp.dot(G, ptc_ref[:], preferred_element_type=f32)         # trans + code
+            J = jnp.dot(G, ptc_ref[:], preferred_element_type=f32, precision=_PREC)         # trans + code
             cross = (
-                jnp.dot(p_lanes, pa1_ref[:], preferred_element_type=f32)
-                * jnp.dot(G, pb1_ref[:], preferred_element_type=f32)
-                - jnp.dot(p_lanes, pa2_ref[:], preferred_element_type=f32)
-                * jnp.dot(G, pb2_ref[:], preferred_element_type=f32)
+                jnp.dot(p_lanes, pa1_ref[:], preferred_element_type=f32, precision=_PREC)
+                * jnp.dot(G, pb1_ref[:], preferred_element_type=f32, precision=_PREC)
+                - jnp.dot(p_lanes, pa2_ref[:], preferred_element_type=f32, precision=_PREC)
+                * jnp.dot(G, pb2_ref[:], preferred_element_type=f32, precision=_PREC)
             )
             J = J + cross
             if scale_on:
@@ -286,8 +295,8 @@ def _fused_render_kernel(
 
             w_d = to_sample(de_do * do_ds * mask_f)                        # [T, 1]
             w_m = to_sample(dm_do * do_ds * mask_f)
-            jd_ref[:] = jnp.dot(sel, J * w_d, preferred_element_type=f32) * ray_ok
-            jm_ref[:] = jnp.dot(sel, J * w_m, preferred_element_type=f32) * ray_ok
+            jd_ref[:] = jnp.dot(sel, J * w_d, preferred_element_type=f32, precision=_PREC) * ray_ok
+            jm_ref[:] = jnp.dot(sel, J * w_m, preferred_element_type=f32, precision=_PREC) * ray_ok
 
         @pl.when(jnp.logical_not(any_band))
         def _no_band():
