@@ -50,12 +50,26 @@ class CompletionRequest:
     latent0: np.ndarray              # [C]
     T_ow0: np.ndarray                # [4, 4]
     pose_known: bool = False
+    # optional latency contract, seconds from submit(): a request still
+    # queued when its deadline passes resolves DeadlineExceeded instead of
+    # occupying a solve lane (checked at pack time, i.e. just before
+    # dispatch — a request already in flight on device completes normally).
+    # None = the round-3 behavior (admission control bounds the queue but an
+    # accepted request waits however long the queue makes it).
+    deadline_s: Optional[float] = None
 
 
 class ServerOverloaded(RuntimeError):
     """Raised by submit() when the bounded queue is full (admission
     control): the caller sheds load instead of silently growing the queue —
     tail latency stays a configuration, not an accident."""
+
+
+class DeadlineExceeded(RuntimeError):
+    """Set on a request's Future when its `deadline_s` passed while it was
+    still queued: the client gets a fast, explicit failure (and can re-submit
+    with fresher observations) instead of a stale result — on a moving robot
+    a fruit pose solved against old frames is worse than no result."""
 
 
 @dataclasses.dataclass
@@ -223,6 +237,7 @@ class CompletionServer:
         # leaving its Future unresolved forever
         self._submit_lock = threading.Lock()
         self._completed = 0
+        self._expired = 0
         # bounded: a continuous server must not grow host memory with age
         self._latencies = deque(maxlen=4096)
         self._started_at: Optional[float] = None
@@ -299,6 +314,23 @@ class CompletionServer:
     def _dec_inflight(self, _fut) -> None:
         with self._lock:
             self._inflight -= 1
+
+    def _expire(self, item) -> bool:
+        """True (and the Future resolved DeadlineExceeded) when the request's
+        deadline passed while it waited in the queue. Worker-thread only."""
+        req, fut, t_sub = item
+        if req.deadline_s is None:
+            return False
+        waited = time.perf_counter() - t_sub
+        if waited <= req.deadline_s:
+            return False
+        if not fut.done():
+            fut.set_exception(DeadlineExceeded(
+                f"fruit {req.fruit_id!r} queued {waited * 1e3:.0f} ms > "
+                f"deadline {req.deadline_s * 1e3:.0f} ms"))
+        with self._lock:
+            self._expired += 1
+        return True
 
     def _batch_width(self, n: int) -> int:
         """Solve width for an n-request batch: next power of two, capped at
@@ -386,6 +418,7 @@ class CompletionServer:
             "queued": self._q.qsize() + self._pending_count(),
             "devices": self._n_dev if self.use_mesh else 1,
             "inflight": self._inflight,
+            "deadline_expired": self._expired,
         }
 
     def _pending_count(self) -> int:
@@ -571,6 +604,11 @@ class CompletionServer:
         while (not self._stop.is_set() or not self._q.empty()
                or self._pending or inflight is not None):
             batch = self._drain(wait=inflight is None)
+            # pack-time deadline check: a request whose latency contract
+            # already expired must not occupy a solve lane — resolve it
+            # DeadlineExceeded now (dispatch would add a full batch time
+            # before its waiter hears anything)
+            batch = [b for b in batch if not self._expire(b)]
             # honor client-side Future.cancel() before paying for the lane
             batch = [b for b in batch if b[1].set_running_or_notify_cancel()]
             nxt = launch(batch) if batch else None

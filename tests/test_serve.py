@@ -309,6 +309,36 @@ def test_serve_admission_control():
     assert srv.stats()["inflight"] == 0
 
 
+def test_serve_deadline():
+    """Per-request latency contract: a request whose deadline_s passes while
+    it is still queued resolves DeadlineExceeded at pack time instead of
+    occupying a solve lane; requests with room (or no deadline) complete."""
+    import dataclasses
+
+    from hortimapping_tpu.serve import DeadlineExceeded
+
+    params, spec = config_decoder(ASSET_DIR)
+    reqs = _requests(spec, 3, seed=77)
+    # deadline 0 is already expired by the time the worker packs the batch
+    # (the check is strictly after submit), so expiry is deterministic; 60 s
+    # can never expire inside this test
+    expired_req = dataclasses.replace(reqs[0], deadline_s=0.0)
+    ok_req = dataclasses.replace(reqs[1], deadline_s=60.0)
+    plain_req = reqs[2]
+    with CompletionServer(params, spec, CFG, cube_radius=0.1, max_batch=4,
+                          max_wait_s=1.0, use_mesh=False) as srv:
+        f_exp = srv.submit(expired_req)
+        f_ok = srv.submit(ok_req)
+        f_plain = srv.submit(plain_req)
+        with pytest.raises(DeadlineExceeded):
+            f_exp.result(timeout=300)
+        assert not f_ok.result(timeout=300).failed
+        assert not f_plain.result(timeout=300).failed
+        stats = srv.stats()
+    assert stats["deadline_expired"] == 1
+    assert stats["completed"] == 2
+
+
 def test_serve_batch_width_capped_and_warmed():
     """The worker's solve width must be capped at max_batch and every width
     it can emit must be in warmup's precompile set — a non-power-of-two

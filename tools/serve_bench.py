@@ -43,6 +43,10 @@ def main() -> None:
                     help="comma-separated offered-load fractions of capacity")
     ap.add_argument("--max-queue", type=int, default=None,
                     help="admission-control bound on in-flight requests")
+    ap.add_argument("--deadline-ms", type=float, default=None,
+                    help="per-request latency contract for the --sweep runs: "
+                         "a request still queued past this resolves "
+                         "DeadlineExceeded instead of serving stale")
     ap.add_argument("--warmstart", action="store_true",
                     help="retrieval warm start inside the served program + "
                          "the shipped 8-iteration coarse cap (the bench.py "
@@ -143,6 +147,11 @@ def main() -> None:
         }), flush=True)
 
         # offered-load sweep: uniform arrivals at load * capacity
+        import dataclasses as _dc
+
+        from hortimapping_tpu.serve import DeadlineExceeded
+
+        deadline_s = args.deadline_ms / 1e3 if args.deadline_ms else None
         for load in ([float(x) for x in args.sweep.split(",")] if args.sweep else []):
             rate = load * capacity
             futs, rejected = [], 0
@@ -152,22 +161,33 @@ def main() -> None:
                 dt = target - time.perf_counter()
                 if dt > 0:
                     time.sleep(dt)
+                if deadline_s is not None:
+                    r = _dc.replace(r, deadline_s=deadline_s)
                 try:
                     futs.append(srv.submit(r))
                 except Exception:
                     rejected += 1
-            results = [f.result(timeout=900) for f in futs]
+            results, expired = [], 0
+            for f in futs:
+                try:
+                    results.append(f.result(timeout=900))
+                except DeadlineExceeded:
+                    expired += 1
             lat = sorted(r.latency_s for r in results)
-            print(json.dumps({
+            rec = {
                 "metric": "serving_latency",
                 "offered_load": load,
                 "rate_fruits_per_sec": round(rate, 2),
                 "served": len(results),
                 "rejected": rejected,
-                "latency_p50_s": round(lat[len(lat) // 2], 3),
-                "latency_p95_s": round(lat[int(len(lat) * 0.95)], 3),
+                "latency_p50_s": round(lat[len(lat) // 2], 3) if lat else None,
+                "latency_p95_s": round(lat[int(len(lat) * 0.95)], 3) if lat else None,
                 "max_queue": args.max_queue,
-            }), flush=True)
+            }
+            if deadline_s is not None:
+                rec["deadline_ms"] = args.deadline_ms
+                rec["expired"] = expired
+            print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
