@@ -163,6 +163,10 @@ class JointOptConfig:
     # 0 = off; w -> inf recovers the reference's mean init.
     retrieval_prior_w: float = 0.0
     multi_start: int = 1
+    # code-frozen pose polish after the joint solve (optim/lm.
+    # pose_polish_batched): up to N extra LM iterations moving ONLY the
+    # Sim(3)/SE(3) pose against the converged shape. 0 = off.
+    pose_polish_iters: int = 0
     # outlier gates (applied by drivers after optimization)
     outlier_scale_min: float = 0.5
     outlier_scale_max: float = 1.25
@@ -303,6 +307,7 @@ class JointOptConfig:
             retrieval_score_bf16=bool(tpu.get("retrieval_score_bf16", d.retrieval_score_bf16)),
             retrieval_prior_w=float(tpu.get("retrieval_prior_w", d.retrieval_prior_w)),
             multi_start=int(tpu.get("multi_start", d.multi_start)),
+            pose_polish_iters=int(tpu.get("pose_polish_iters", d.pose_polish_iters)),
             outlier_scale_min=float(out.get("scale_min", d.outlier_scale_min)),
             outlier_scale_max=float(out.get("scale_max", d.outlier_scale_max)),
             outlier_rot_max_deg=float(out.get("rot_max_deg", d.outlier_rot_max_deg)),

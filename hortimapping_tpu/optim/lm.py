@@ -222,8 +222,14 @@ def lm_iteration(
     state: OptState,
     cube_radius: float,
     pose_known: bool,
+    code_known: bool = False,
 ) -> OptState:
-    """One LM iteration (reference: the body of optimizer.py:88-292)."""
+    """One LM iteration (reference: the body of optimizer.py:88-292).
+
+    `code_known` is the mirror of the reference's `pose_known` mode: the
+    code block of the step is zeroed so only the Sim(3)/SE(3) pose moves
+    (used by the pose-polish phase, `pose_polish_batched`). No reference
+    equivalent — the reference never freezes the shape."""
     pose_dim = cfg.pose_dim
     i = state.i
     latent, T_ow = state.latent, state.T_ow
@@ -241,6 +247,8 @@ def lm_iteration(
         delta = jnp.linalg.solve(H, b)
     if pose_known:
         delta = delta.at[:6].set(0.0)                          # optimizer.py:237-239
+    if code_known:
+        delta = delta.at[pose_dim:].set(0.0)
     delta_p = delta[:pose_dim]
     delta_c = delta[pose_dim:]
     # exp_sim3_ref replicates the reference's c=0-for-(s <= eps) translation
@@ -257,7 +265,11 @@ def lm_iteration(
 
     past_warmup = i > 1
     conv_g = (jnp.max(jnp.abs(b)) < cfg.epsilon_g) & past_warmup
-    conv_c = (jnp.max(jnp.abs(delta_c / (latent_new + 1e-12))) < cfg.epsilon_c) & past_warmup
+    # with the code frozen, delta_c == 0 would trivially satisfy the
+    # relative-code-change test — disable it so the polish runs on the pose
+    # tests / iteration budget only
+    conv_c = (jnp.max(jnp.abs(delta_c / (latent_new + 1e-12))) < cfg.epsilon_c) \
+        & past_warmup & (not code_known)
     # NOTE: the reference compares delta_scale (a ratio ~= 1) against
     # epsilon_s directly (`optimizer.py:285`), so its pose-convergence test
     # can never fire; replicated literally for iteration-count parity.
@@ -578,6 +590,67 @@ def shape_pose_joint_opt_batched(
                      final.converged)
 
 
+@partial(jax.jit, static_argnames=("spec", "cfg", "cube_radius"))
+def pose_polish_batched(
+    params: Params,
+    spec: DecoderSpec,
+    cfg: JointOptConfig,
+    obs: FruitObservations,   # leading fruit axis
+    res: OptResult,
+    cube_radius: float,
+) -> OptResult:
+    """Code-frozen pose polish: up to `cfg.pose_polish_iters` extra LM
+    iterations from the joint solution with the latent FROZEN (the code
+    block of every step is zeroed — `lm_iteration(code_known=True)`).
+
+    Rationale: the joint solve trades pose accuracy against shape fit — a
+    slightly-off shape can pull the pose to compensate. Once the shape has
+    converged, re-solving pose alone against the fixed decoder surface
+    removes that coupling. No reference equivalent (the reference solves
+    jointly only, `optimizer.py:28-302`); probed for the greenhouse
+    multi-frame pose metric (docs/PERF.md round 4).
+
+    Failed lanes stay frozen (their estimate is the untouched init, the
+    reference break semantics); `iter_count` bills main + polish iterations
+    like the two-phase c2f billing. `converged` reports the MAIN solve's
+    verdict (the polish runs a fixed small budget, its own convergence is
+    not a quality signal)."""
+    polish_cfg = dataclasses.replace(cfg, max_iter=cfg.pose_polish_iters)
+
+    def cond(s: OptState):
+        return jnp.any(~(s.done | s.failed))
+
+    def body(s: OptState):
+        new = jax.vmap(
+            lambda o, st: lm_iteration(params, spec, polish_cfg, o, st,
+                                       cube_radius, False, code_known=True)
+        )(obs, s)
+        return jax.vmap(_freeze_if_done)(s, new)
+
+    s0 = jax.vmap(init_state)(res.latent, res.T_ow)
+    # lanes that failed the main solve must not start polishing
+    s0 = s0._replace(done=res.failed, failed=res.failed)
+    final = jax.lax.while_loop(cond, body, s0)
+    return OptResult(
+        res.latent,                      # frozen by construction
+        final.T_ow,
+        res.iter_count + final.iter_count,
+        # a lane that "fails" mid-polish (freeze keeps its last good pose)
+        # still carries a valid MAIN solution — only the main verdict ships
+        res.failed,
+        res.converged,
+    )
+
+
+def maybe_pose_polish(params, spec, cfg, obs, res, cube_radius,
+                      pose_known=False):
+    """Apply the configured pose polish (opt.tpu.pose_polish_iters > 0).
+    A no-op under `pose_known` — there is no pose to polish."""
+    if cfg.pose_polish_iters > 0 and not pose_known:
+        return pose_polish_batched(params, spec, cfg, obs, res, cube_radius)
+    return res
+
+
 @partial(jax.jit, static_argnames=("spec", "cfg", "cube_radius", "pose_known", "start_iter"))
 def _continue_joint_opt_batched(
     params: Params,
@@ -804,6 +877,7 @@ def joint_opt_packed(
         )
     solver = coarse_to_fine_joint_opt if cfg.coarse_to_fine else shape_pose_joint_opt_batched
     res = solver(params, spec, cfg, obs, latent0, T_ow0, cube_radius, pose_known)
+    res = maybe_pose_polish(params, spec, cfg, obs, res, cube_radius, pose_known)
     return res, pack_result(res)
 
 
@@ -931,7 +1005,12 @@ def solve_in_chunks(
     """
     if max_batch is None:
         max_batch = 64 if cfg.fused_resolved() else 16
-    solver = coarse_to_fine_joint_opt if cfg.coarse_to_fine else shape_pose_joint_opt_batched
+    base_solver = coarse_to_fine_joint_opt if cfg.coarse_to_fine else shape_pose_joint_opt_batched
+
+    def solver(params, spec, cfg, obs, lat, T, cube_radius, pose_known):
+        res = base_solver(params, spec, cfg, obs, lat, T, cube_radius, pose_known)
+        return maybe_pose_polish(params, spec, cfg, obs, res, cube_radius, pose_known)
+
     B = latent0.shape[0]
     if B <= max_batch:
         return solver(

@@ -140,11 +140,16 @@ def _sharded_solver(mesh: Mesh, spec: DecoderSpec, cfg: JointOptConfig,
     def _solve(params_, obs_, lat0_, T0_):
         # both phases of the two-resolution solve (and the trust-region
         # while_loop) are per-lane local math — still zero collectives
+        from hortimapping_tpu.optim.lm import maybe_pose_polish
+
         solver = (coarse_to_fine_joint_opt if cfg.coarse_to_fine
                   else shape_pose_joint_opt_batched)
-        return solver(
+        res = solver(
             params_, spec, cfg, obs_, lat0_, T0_, cube_radius, pose_known
         )
+        # the code-frozen pose polish is also per-lane local math
+        return maybe_pose_polish(params_, spec, cfg, obs_, res, cube_radius,
+                                 pose_known)
 
     if with_retrieval:
 

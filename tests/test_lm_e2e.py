@@ -175,6 +175,58 @@ def test_batched_matches_single(world):
         assert abs(e_single - e_batched) < 2e-3, (e_single, e_batched)
 
 
+def test_pose_polish_freezes_code_and_improves_pose(world):
+    """Code-frozen pose polish (optim/lm.pose_polish_batched): the latent
+    must come back bit-identical, iter_count bills main + polish, and on a
+    truncated main solve (tight iteration cap leaves pose error on the
+    table) the polished pose must not be worse."""
+    import dataclasses
+
+    from hortimapping_tpu.optim.lm import pose_polish_batched, solve_in_chunks
+
+    params, spec, cat, proj = world
+    fruits = [
+        _fruit(world, 31, [0.25, 0.05, 0.1], 1.05),
+        _fruit(world, 32, [-0.15, 0.1, 0.2], 1.0),
+    ]
+    lat0, T0, obs_list = [], [], []
+    for code_gt, T_wo_gt, obs, _ in fruits:
+        center = T_wo_gt[:3, 3]
+        _, T_ow_init = _gt_pose(center + np.array([0.012, -0.007, 0.009]))
+        lat0.append(np.zeros(spec.code_length, np.float32))
+        T0.append(T_ow_init.astype(np.float32))
+        obs_list.append(obs)
+    obs_b = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *obs_list)
+    lat_b, T_b = jnp.asarray(np.stack(lat0)), jnp.asarray(np.stack(T0))
+
+    cfg_trunc = dataclasses.replace(CFG, max_iter=4)
+    main = shape_pose_joint_opt_batched(
+        params, spec, cfg_trunc, obs_b, lat_b, T_b, CUBE_RADIUS)
+    polished = pose_polish_batched(
+        params, spec, dataclasses.replace(cfg_trunc, pose_polish_iters=5),
+        obs_b, main, CUBE_RADIUS)
+
+    np.testing.assert_array_equal(np.asarray(polished.latent),
+                                  np.asarray(main.latent))
+    assert not np.asarray(polished.failed).any()
+    for i in range(2):
+        extra = int(polished.iter_count[i]) - int(main.iter_count[i])
+        assert 1 <= extra <= 5
+        e_main = _translation_error(main.T_ow[i], fruits[i][1])
+        e_pol = _translation_error(polished.T_ow[i], fruits[i][1])
+        assert e_pol <= e_main + 1e-4, (e_main, e_pol)
+
+    # config-routed: solve_in_chunks applies the polish when
+    # pose_polish_iters > 0 (same result as calling it manually)
+    routed = solve_in_chunks(
+        params, spec, dataclasses.replace(cfg_trunc, pose_polish_iters=5),
+        obs_b, lat_b, T_b, CUBE_RADIUS)
+    np.testing.assert_allclose(np.asarray(routed.T_ow),
+                               np.asarray(polished.T_ow), atol=1e-6)
+    assert np.array_equal(np.asarray(routed.iter_count),
+                          np.asarray(polished.iter_count))
+
+
 def test_pose_known_keeps_se3_fixed(world):
     params, spec, cat, proj = world
     code_gt, T_wo_gt, obs, _ = _fruit(world, 31, [0.1, 0.2, 0.3], 1.0)

@@ -36,17 +36,24 @@ N_FRAMES = int(os.environ.get("N_FRAMES", "5"))
 def variant_tpu_block(name: str) -> tuple:
     """-> (opt.tpu dict, max_iter override or None).
 
-    Variant grammar: base[_s1][_prN][_tr][_itN]; base = mean | retrieval |
-    retrieval_msK. `_s1` scores the retrieval at unit scale only — for
-    SE(3) workloads (lab) where an init-scale offset could never be
-    optimized away, and for one-view workloads where scale is ambiguous.
-    `_prN` sets the prior-shrinkage penalty retrieval_prior_w = N/100."""
+    Variant grammar: base[_s1][_prN][_tr][_ppN][_itN]; base = mean |
+    retrieval | retrieval_msK. `_s1` scores the retrieval at unit scale
+    only — for SE(3) workloads (lab) where an init-scale offset could never
+    be optimized away, and for one-view workloads where scale is ambiguous.
+    `_prN` sets the prior-shrinkage penalty retrieval_prior_w = N/100.
+    `_ppN` runs N code-frozen pose-polish iterations after the joint
+    solve."""
     tpu: dict = {}
     max_iter = None
     base = name
     if "_it" in base:
         base, it = base.rsplit("_it", 1)
         max_iter = int(it)
+    if "_pp" in base:
+        # code-frozen pose polish: N extra pose-only LM iterations after the
+        # joint solve (optim/lm.pose_polish_batched)
+        base, pp = base.rsplit("_pp", 1)
+        tpu["pose_polish_iters"] = int(pp)
     if base.endswith("_tr"):
         tpu["trust_region"] = True
         base = base[:-3]
