@@ -109,6 +109,9 @@ def main() -> None:
                          "(challenge_probe grammar, e.g. retrieval, "
                          "retrieval_s1); the reference side always runs the "
                          "genuine solver from the table-mean init")
+    ap.add_argument("--json-out", default=None,
+                    help="write per-instance paired rows as JSON (for "
+                         "pooling multiple seeds into one N>=16 verdict)")
     args = ap.parse_args()
 
     import torch
@@ -276,6 +279,29 @@ def main() -> None:
     sem = deltas.std(ddof=1) / np.sqrt(len(deltas)) if len(deltas) > 1 else float("nan")
     print(f"paired CD delta {deltas.mean():+.4f} mm  sem {sem:.4f}  "
           f"(ours better on {int((deltas < 0).sum())}/{len(deltas)})")
+
+    if args.json_out:
+        import json
+
+        rec = {
+            "family": args.family, "multi": bool(args.multi),
+            "seed": args.seed, "n_fruits": args.n_fruits,
+            "variant": args.variant, "cpu": bool(args.cpu),
+            "summary": {k: (ov, rv) for k, ov, rv in rows},
+            "instances": [
+                {"label": r[0], "ours_cd_mm": float(o), "ref_cd_mm": float(r[1]),
+                 **({"ours_trans_mm": float(to), "ref_trans_mm": float(r[3]),
+                     "ours_rot_deg": float(ro), "ref_rot_deg": float(r[4])}
+                    if args.family == "greenhouse" else {})}
+                for (o, r, to, ro) in zip(
+                    ours_cds, ref_rows,
+                    summary_ours.get("tran_err_per_fruit_mm", [None] * len(ref_rows)),
+                    summary_ours.get("rot_err_per_fruit_deg", [None] * len(ref_rows)))
+            ],
+        }
+        with open(args.json_out, "w") as f:
+            json.dump(rec, f, indent=1)
+        print(f"wrote {args.json_out}")
 
 
 if __name__ == "__main__":
