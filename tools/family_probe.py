@@ -76,6 +76,9 @@ def main(variants) -> None:
     else:
         raise SystemExit(f"unknown FAMILY {FAMILY}")
 
+    json_out = os.environ.get("JSON_OUT")
+    dump = {"family": FAMILY, "mode": MODE, "seed": SEED,
+            "n_fruits": N_FRUITS, "variants": {}}
     for name in variants:
         cfg = base_cfg()
         tpu, max_iter = variant_tpu_block(name)
@@ -95,7 +98,20 @@ def main(variants) -> None:
             f"iters {summary['iteration']:.1f}{extra}  wall {dt:.1f} s",
             flush=True,
         )
+        if json_out:
+            dump["variants"][name] = {
+                k: summary[k] for k in ("cd_per_fruit_mm",
+                                        "tran_err_per_fruit_mm",
+                                        "rot_err_per_fruit_deg")
+                if k in summary
+            }
         shutil.rmtree(os.path.join(data_dir, "results"), ignore_errors=True)
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(dump, f, indent=1)
+        print(f"wrote {json_out}")
 
 
 if __name__ == "__main__":

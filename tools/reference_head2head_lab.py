@@ -287,7 +287,7 @@ def main() -> None:
             "family": args.family, "multi": bool(args.multi),
             "seed": args.seed, "n_fruits": args.n_fruits,
             "variant": args.variant, "cpu": bool(args.cpu),
-            "summary": {k: (ov, rv) for k, ov, rv in rows},
+            "summary": {k: (float(ov), float(rv)) for k, ov, rv in rows},
             "instances": [
                 {"label": r[0], "ours_cd_mm": float(o), "ref_cd_mm": float(r[1]),
                  **({"ours_trans_mm": float(to), "ref_trans_mm": float(r[3]),
