@@ -179,9 +179,14 @@ def test_tpu_family_yaml_blocks_parse():
     tpu_opt.pop("tpu")
     assert tpu_opt == base["opt"]
 
+    # multi-frame greenhouse: retrieval at UNIT scale too (round 4: the
+    # (code, scale) grid traded pose away vs the genuine reference —
+    # trans +2.2 sem / rot +3.1 sem at N=25 — for no CD gain; docs/PERF.md)
     cfg = load_config(os.path.join(root, "cka_pepper_tpu.yaml"))
     oc = JointOptConfig.from_dict(cfg)
     assert oc.init_mode == "retrieval"
+    assert oc.retrieval_n_scales == 1
+    assert oc.retrieval_scale_min == 1.0 and oc.retrieval_scale_max == 1.0
     assert oc.scale_on is True
     base = load_config(os.path.join(root, "cka_pepper.yaml"))
     tpu_opt = dict(cfg["opt"])
