@@ -48,30 +48,52 @@ def _score_codes(
     points: jnp.ndarray,   # [P, 3] object-frame points (scaled candidates)
     valid: jnp.ndarray,    # [P] bool
     bf16: bool = False,
+    block_elems: int = 1 << 15,
 ) -> jnp.ndarray:
     """Mean |clamped sdf| of each code over the observed points. [N].
 
     `bf16` runs the scoring matmuls at the MXU native rate — scores only
     RANK candidates, and the clamped 256-point mean averages the rounding
     noise well below the code-to-code score spread (validated on the wild
-    probe: identical CD to f32 scoring at half the cost)."""
+    probe: identical CD to f32 scoring at half the cost).
+
+    Large code tables are scored in blocks: under the (fruit x scale) vmaps
+    the full-table activation is [B, S, N*P, hidden] — a freshly trained
+    512-code table at 256 pts is f32[12,5,131072,512] = 15 GB, an OOM on
+    the 16 GB HBM (measured, round 4 trainer gate). Blocks of
+    `block_elems / P` codes bound the peak; N*P <= block_elems keeps the
+    original single-matmul fast path (the shipped 64-919-code tables)."""
     N, C = codes.shape
     P = points.shape[0]
-    inp = jnp.concatenate(
-        [
-            jnp.broadcast_to(codes[:, None, :], (N, P, C)),
-            jnp.broadcast_to(points[None, :, :], (N, P, 3)),
-        ],
-        axis=-1,
-    )
     dtype = jnp.bfloat16 if bf16 else jnp.float32
-    sdf = decoder_apply(params, spec, inp.reshape(N * P, C + 3),
-                        compute_dtype=dtype).astype(jnp.float32).reshape(N, P)
-    # clamp: far-off codes saturate at the clamping distance instead of
-    # dominating the mean through tanh tails
-    err = jnp.minimum(jnp.abs(sdf), spec.clamping_distance)
-    count = jnp.maximum(jnp.sum(valid), 1)
-    return jnp.sum(err * valid[None, :], axis=1) / count
+
+    def score_block(blk):                                  # [Nb, C] -> [Nb]
+        nb = blk.shape[0]
+        inp = jnp.concatenate(
+            [
+                jnp.broadcast_to(blk[:, None, :], (nb, P, C)),
+                jnp.broadcast_to(points[None, :, :], (nb, P, 3)),
+            ],
+            axis=-1,
+        )
+        sdf = decoder_apply(params, spec, inp.reshape(nb * P, C + 3),
+                            compute_dtype=dtype).astype(jnp.float32).reshape(nb, P)
+        # clamp: far-off codes saturate at the clamping distance instead of
+        # dominating the mean through tanh tails
+        err = jnp.minimum(jnp.abs(sdf), spec.clamping_distance)
+        count = jnp.maximum(jnp.sum(valid), 1)
+        return jnp.sum(err * valid[None, :], axis=1) / count
+
+    if N * P <= block_elems:
+        return score_block(codes)
+    nb_sz = max(1, block_elems // P)
+    nblk = -(-N // nb_sz)
+    pad = nblk * nb_sz - N
+    if pad:
+        codes = jnp.concatenate(
+            [codes, jnp.broadcast_to(codes[-1:], (pad, C))])
+    out = jax.lax.map(score_block, codes.reshape(nblk, nb_sz, C))
+    return out.reshape(-1)[:N]
 
 
 @partial(jax.jit, static_argnames=("spec", "top_k", "n_score_pts", "n_scales",
@@ -126,7 +148,12 @@ def retrieval_init_batched(
             return _score_codes(params, spec, latent_table, sig * sub, sub_v,
                                 bf16=score_bf16)
 
-        s = jax.vmap(at_scale)(scales)                    # [S, N]
+        if N * n_score_pts <= 1 << 15:
+            s = jax.vmap(at_scale)(scales)                # [S, N]
+        else:
+            # large tables: serialize the scale axis too — vmapping it
+            # multiplies the blocked scoring activation by n_scales
+            s = jax.lax.map(at_scale, scales)             # [S, N]
         if prior_w > 0.0:
             # shrink toward the table mean: under weak observability many
             # codes fit the visible patch while the unobserved side is

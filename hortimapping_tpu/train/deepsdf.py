@@ -105,6 +105,9 @@ class TrainResult:
     losses: np.ndarray               # per-epoch mean loss
     names: List[str]
     checkpoint_path: Optional[str] = None
+    # wall_s (whole loop incl. compile), steady_wall_s/steady_epochs
+    # (excluding the first chunk = compile + warmup), steps_per_epoch
+    timing: Optional[Dict] = None
 
 
 def _lr_schedule(entry: Dict, default_initial: float) -> Tuple[float, float, float]:
@@ -127,6 +130,7 @@ def train_deepsdf(
     save: bool = True,
     checkpoint: str = "latest",
     mesh=None,
+    epochs_per_call: int = 25,
     log=print,
 ) -> TrainResult:
     """Train a DeepSDF decoder + latent table from an experiment directory.
@@ -203,9 +207,14 @@ def train_deepsdf(
     net_state = net_opt.init(params)
     cod_state = cod_opt.init(codes0)
 
-    def scene_batch(k, scene_ids):
+    def scene_batch(k, scene_ids, banks):
         """Per-step sample draw: half pos, half neg per scene (upstream
-        balance), uniform over each scene's valid prefix."""
+        balance), uniform over each scene's valid prefix. `banks` are
+        TRACED arguments (threaded through chunk_fn), never closed over:
+        a closure would bake them into the jitted HLO as constants —
+        268 MB at 512 scenes — which the axon remote-compile endpoint
+        rejects (HTTP 413) and which bloats any AOT cache."""
+        pos_b, pos_nb, neg_b, neg_nb = banks
         kp, kn = jax.random.split(k)
 
         def draw(bank, counts, kk):
@@ -214,10 +223,10 @@ def train_deepsdf(
             return jax.vmap(lambda b, i: b[i])(bank[scene_ids], idx)
 
         return jnp.concatenate(
-            [draw(pos_d, pos_nd, kp), draw(neg_d, neg_nd, kn)], axis=1
+            [draw(pos_b, pos_nb, kp), draw(neg_b, neg_nb, kn)], axis=1
         )  # [B_local, samples_per_scene(~), 4]
 
-    def epoch_fn(carry, epoch):
+    def epoch_fn(carry, epoch, banks):
         params, codes, net_state, cod_state, k = carry
         net_lr = net_lr0 * net_f ** jnp.floor(epoch / net_iv)
         cod_lr = cod_lr0 * cod_f ** jnp.floor(epoch / cod_iv)
@@ -230,7 +239,7 @@ def train_deepsdf(
                 step_key = jax.random.fold_in(step_key, jax.lax.axis_index("fruit"))
             ks, kd = jax.random.split(step_key)
             scene_ids = jax.random.randint(ks, (scenes_local,), 0, S)
-            samples = scene_batch(kd, scene_ids)            # [B, n, 4]
+            samples = scene_batch(kd, scene_ids, banks)     # [B, n, 4]
             xyz, sdf_gt = samples[..., :3], samples[..., 3]
             sdf_gt = jnp.clip(sdf_gt, -clamp, clamp)
 
@@ -239,7 +248,20 @@ def train_deepsdf(
                 zb = jnp.broadcast_to(z[:, None, :], xyz.shape[:2] + (spec.code_length,))
                 inp = jnp.concatenate([zb, xyz], axis=-1)
                 pred = decoder_apply(params, spec, inp)[..., 0]
-                pred = jnp.clip(pred, -clamp, clamp)
+                # straight-through clamp: the VALUE is the upstream loss
+                # |clamp(pred) - clamp(gt)| exactly, but the gradient treats
+                # the clamp as identity. A hard clip has zero gradient
+                # outside +-clamp, and with Adam's normalized per-coordinate
+                # steps the mean prediction overshoots the band within ~10
+                # steps at reference scale (8x512 net, He init) — after
+                # which EVERY gradient is exactly 0 and the run is dead
+                # (measured: 1000 epochs pinned at loss 0.076, round 4).
+                # Straight-through keeps the restoring pull on wrong-side
+                # saturated predictions; right-side-saturated ones still get
+                # no gradient (|clamp(pred)-clamp(gt)| = 0 there), matching
+                # the upstream semantics of not supervising outside the band.
+                pred = pred + jax.lax.stop_gradient(
+                    jnp.clip(pred, -clamp, clamp) - pred)
                 data = jnp.mean(jnp.abs(pred - sdf_gt))
                 reg = 0.0
                 if code_reg:
@@ -268,29 +290,53 @@ def train_deepsdf(
         )
         return (params, codes, net_state, cod_state, k), jnp.mean(losses)
 
+    def chunk_fn(carry, epoch_ids, *banks):
+        # scan whole epochs per dispatch: over the axon tunnel each
+        # dispatch + loss fetch costs ~0.3-1 s of host round trips, which
+        # dominated per-epoch stepping (measured: 40 one-step epochs took
+        # 47 s dispatched singly, ~2.3 s chunked — docs/PERF.md round 4)
+        return jax.lax.scan(lambda c, e: epoch_fn(c, e, banks),
+                            carry, epoch_ids)
+
     if mesh is None:
-        run_epoch = jax.jit(epoch_fn)
+        run_chunk = jax.jit(chunk_fn)
     else:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         # all state replicated; per-device divergence comes only from the
         # axis_index-folded RNG inside step_fn, and pmean re-syncs gradients
-        run_epoch = jax.jit(shard_map(
-            epoch_fn, mesh=mesh,
-            in_specs=(P(), P()), out_specs=(P(), P()),
+        run_chunk = jax.jit(shard_map(
+            chunk_fn, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P()), out_specs=(P(), P()),
             check_vma=False,
         ))
     carry = (params, codes0, net_state, cod_state, key)
-    losses = []
+    losses: list = []
+    epochs_per_call = max(1, min(int(epochs_per_call), num_epochs))
     t0 = time.time()
-    for e in range(num_epochs):
-        carry, loss = run_epoch(carry, jnp.float32(e))
-        if e % max(1, num_epochs // 10) == 0 or e == num_epochs - 1:
-            log(f"epoch {e:4d}/{num_epochs}  loss {float(loss):.5f}  "
-                f"({time.time() - t0:.1f}s)")
-        losses.append(float(loss))
+    t_first = None  # end of the first chunk = compile + one chunk of work
+    e = 0
+    while e < num_epochs:
+        n = min(epochs_per_call, num_epochs - e)
+        carry, chunk_losses = run_chunk(
+            carry, jnp.arange(e, e + n, dtype=jnp.float32),
+            pos_d, pos_nd, neg_d, neg_nd)
+        losses.extend(np.asarray(chunk_losses).tolist())
+        if t_first is None:
+            t_first = time.time()
+        e += n
+        log(f"epoch {e:4d}/{num_epochs}  loss {losses[-1]:.5f}  "
+            f"({time.time() - t0:.1f}s)")
     params, codes = carry[0], carry[1]
+    timing = {
+        "wall_s": time.time() - t0,
+        # steady-state excludes the first chunk (jit compile + warmup);
+        # meaningful only when more than one chunk ran
+        "steady_wall_s": (time.time() - t_first) if t_first else 0.0,
+        "steady_epochs": max(0, num_epochs - epochs_per_call),
+        "steps_per_epoch": steps_per_epoch,
+    }
 
     path = None
     if save:
@@ -299,4 +345,5 @@ def train_deepsdf(
             latent_codes=np.asarray(codes),
         )
         log(f"saved {path}")
-    return TrainResult(params, np.asarray(codes), np.asarray(losses), names, path)
+    return TrainResult(params, np.asarray(codes), np.asarray(losses), names,
+                       path, timing)

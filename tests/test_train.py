@@ -108,6 +108,37 @@ def test_checkpoint_roundtrip_and_fit(trained):
     assert np.mean(errs) < 0.008, f"surface errors {np.round(errs, 4)}"
 
 
+def test_training_survives_clamp_overshoot(tmp_path):
+    """Straight-through clamp regression (round 4): with a hard
+    `clip(pred)` in the loss, Adam's normalized steps push the mean
+    prediction past +-ClampingDistance within ~10 steps at reference scale,
+    after which every gradient is exactly 0 and the run is dead (measured:
+    1000 epochs pinned at loss 0.076). The straight-through clamp keeps the
+    restoring pull on wrong-side-saturated predictions. Reproduce the
+    overshoot at tiny scale with an aggressive LR: training must still
+    recover and converge instead of pinning at a constant."""
+    data = str(tmp_path / "data")
+    exp = str(tmp_path / "exp")
+    _make_dataset(data, n_scenes=6)
+    _make_experiment(exp, data)
+    with open(os.path.join(exp, "specs.json")) as f:
+        specs = json.load(f)
+    # ~10x the tuned LR: guarantees the band overshoot the full-scale run
+    # hit organically (pred saturates within the first epochs)
+    specs["LearningRateSchedule"] = [
+        {"Type": "Step", "Initial": 2e-2, "Interval": 30, "Factor": 0.5},
+        {"Type": "Step", "Initial": 5e-2, "Interval": 30, "Factor": 0.5},
+    ]
+    with open(os.path.join(exp, "specs.json"), "w") as f:
+        json.dump(specs, f)
+    res = train_deepsdf(exp, save=False, log=lambda *a: None)
+    losses = np.asarray(res.losses)
+    assert np.isfinite(losses).all()
+    # a clamp-dead run pins at a constant; a live one keeps improving
+    assert losses[-10:].mean() < 0.5 * losses[:5].mean(), (
+        f"training died after overshoot: {losses[:5]} -> {losses[-10:]}")
+
+
 def test_training_data_parallel_mesh(tmp_path):
     """Data-parallel training over the 8-device mesh: gradients pmean-sync,
     state stays replicated, loss converges like the single-device run."""

@@ -141,6 +141,47 @@ def test_retrieval_chunked_matches_full_vmap():
         np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
 
 
+def test_large_table_code_blocking_matches_single_matmul():
+    """A freshly TRAINED latent table can be 512+ codes — the full
+    (code x scale) scoring grid then materializes a [B,S,N*P,hidden]
+    activation past the 16 GB HBM (f32[12,5,131072,512] = 15 GB, measured
+    OOM on the round-4 trainer gate). _score_codes blocks the code axis and
+    the scale vmap serializes; both must be numerically identical to the
+    single-matmul fast path, including the padded remainder block."""
+    from hortimapping_tpu.optim.warmstart import _score_codes
+
+    params, spec = config_decoder(ASSET_DIR)
+    rng = np.random.default_rng(9)
+    codes = jnp.asarray(rng.normal(size=(300, spec.code_length)), jnp.float32)
+    pts = jnp.asarray(rng.normal(size=(256, 3)) * 0.05, jnp.float32)
+    valid = jnp.asarray(rng.random(256) < 0.9)
+    # 300 * 256 = 76800 > 2^15: blocked (2 full blocks + padded remainder)
+    got = _score_codes(params, spec, codes, pts, valid)
+    want = _score_codes(params, spec, codes, pts, valid, block_elems=1 << 30)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    # end to end: blocked + scale-serialized retrieval over the large table
+    # returns exactly the argmin of the UNBLOCKED (scale x code) score grid
+    table, obs, _ = _table_and_fruits(spec, n_table=24, n_fruits=2)
+    big = jnp.concatenate(
+        [jnp.asarray(rng.normal(size=(276, spec.code_length)) * 0.5,
+                     jnp.float32), table])  # 300 codes: 300*256 > 2^15
+    lat, _, _, _ = retrieval_init_batched(
+        params, spec, big, obs.points_w, obs.point_valid, n_score_pts=256)
+    scales = jnp.linspace(0.85, 1.2, 5)
+    for b in range(2):
+        sub = obs.points_w[b, :256]
+        sub_v = obs.point_valid[b, :256]
+        grid = jnp.stack([
+            _score_codes(params, spec, big, sig * sub, sub_v,
+                         block_elems=1 << 30)
+            for sig in scales
+        ])                                               # [S, N] unblocked
+        best = int(jnp.argmin(jnp.min(grid, axis=0)))
+        np.testing.assert_array_equal(np.asarray(lat[b]),
+                                      np.asarray(big[best]))
+
+
 def test_multi_start_picks_lowest_objective():
     """multi_start must return, per fruit, exactly the per-start solve whose
     final LM objective is lowest."""

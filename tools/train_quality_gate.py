@@ -147,12 +147,20 @@ def sdf_accuracy(exp_dir: str, n_probe: int = 32) -> float:
         gt = _ellipsoid_sdf_np(x, radii)
         pred = np.asarray(decoder_sdf(params, spec, jnp.asarray(codes[s]),
                                       jnp.asarray(x)))
-        errs.append(np.abs(pred - np.clip(gt, -spec.clamping_distance,
-                                          spec.clamping_distance)).mean())
+        # clamped-distance convention on BOTH sides (training only ever
+        # supervises within +-ClampingDistance; raw outputs outside it are
+        # unconstrained by design)
+        c = spec.clamping_distance
+        errs.append(np.abs(np.clip(pred, -c, c) - np.clip(gt, -c, c)).mean())
     return float(np.mean(errs))
 
 
-def challenge_cd(deepsdf_dir: str, data_dir: str, variant: str) -> float:
+def challenge_cd(deepsdf_dir: str, data_dir: str, variant: str) -> tuple:
+    """-> (mean CD [mm], n_empty). Instances whose completed mesh came out
+    EMPTY score CD = 0 by the reference's own metric convention
+    (`/root/reference/metrics_3d/chamfer_distance.py:17-18`) — a "perfect"
+    score for predicting nothing — so the gate counts them separately and
+    fails on any."""
     from challenge_probe import variant_tpu_block
 
     from hortimapping_tpu.config import load_config
@@ -170,7 +178,9 @@ def challenge_cd(deepsdf_dir: str, data_dir: str, variant: str) -> float:
         cfg["opt"].setdefault("converge", {})["max_iter"] = max_iter
     summary = run_challenge(cfg, log=lambda *a: None)
     shutil.rmtree(os.path.join(data_dir, "results"), ignore_errors=True)
-    return float(summary["CD[mm]"])
+    per = summary.get("cd_per_fruit_mm", [])
+    n_empty = sum(1 for c in per if c == 0.0)
+    return float(summary["CD[mm]"]), n_empty
 
 
 def main() -> int:
@@ -204,11 +214,20 @@ def main() -> int:
         t0 = time.perf_counter()
         result = train_deepsdf(exp_dir, log=lambda m: print(m, file=sys.stderr))
         wall = time.perf_counter() - t0
-        steps = args.epochs * max(1, args.scenes // 64)
+        spe = (result.timing or {}).get("steps_per_epoch",
+                                        max(1, args.scenes // 64))
+        steps = args.epochs * spe
         rec["train_wall_s"] = round(wall, 1)
         rec["steps_per_s"] = round(steps / wall, 2)
         rec["samples_per_s"] = round(steps * 64 * 8192 / wall / 1e6, 2)
         rec["samples_per_s_unit"] = "M/s"
+        # steady state: excludes jit compile + first-chunk warmup
+        tm = result.timing or {}
+        if tm.get("steady_epochs") and tm.get("steady_wall_s"):
+            st_steps = tm["steady_epochs"] * spe
+            rec["steps_per_s_steady"] = round(st_steps / tm["steady_wall_s"], 2)
+            rec["samples_per_s_steady"] = round(
+                st_steps * 64 * 8192 / tm["steady_wall_s"] / 1e6, 2)
         rec["final_loss"] = float(result.losses[-1])
 
     rec["sdf_mae_mm"] = round(sdf_accuracy(exp_dir) * 1e3, 4)
@@ -221,13 +240,21 @@ def main() -> int:
 
         make_challenge_dataset(ch_dir, os.path.join(ROOT, "assets", "synthetic_pepper_32"),
                                split="val", n_fruits=12, n_frames=3, seed=55)
-    cd_shipped = challenge_cd(os.path.join(ROOT, "assets", "synthetic_pepper_32"),
-                              ch_dir, args.variant)
-    cd_trained = challenge_cd(exp_dir, ch_dir, args.variant)
+    cd_shipped, empty_shipped = challenge_cd(
+        os.path.join(ROOT, "assets", "synthetic_pepper_32"), ch_dir, args.variant)
+    cd_trained, empty_trained = challenge_cd(exp_dir, ch_dir, args.variant)
     rec["challenge_cd_shipped_mm"] = round(cd_shipped, 4)
     rec["challenge_cd_trained_mm"] = round(cd_trained, 4)
+    rec["empty_meshes_shipped"] = empty_shipped
+    rec["empty_meshes_trained"] = empty_trained
     rec["cd_margin_mm"] = CD_MARGIN_MM
-    rec["pass"] = bool(cd_trained <= cd_shipped + CD_MARGIN_MM)
+    # an empty mesh scores CD 0 under the reference metric convention, so a
+    # degenerate decoder could "pass" on CD alone — require zero empties
+    rec["pass"] = bool(
+        empty_trained == 0
+        and np.isfinite(cd_trained) and cd_trained > 0.0
+        and cd_trained <= cd_shipped + CD_MARGIN_MM
+    )
     print(json.dumps(rec))
     return 0 if rec["pass"] else 1
 
