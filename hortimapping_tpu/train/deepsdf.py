@@ -44,7 +44,67 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from hortimapping_tpu.models.decoder import DecoderSpec, Params, decoder_apply, init_decoder_params
-from hortimapping_tpu.models.workspace import load_specs, save_native_checkpoint
+from hortimapping_tpu.models.workspace import NATIVE_SUBDIR, load_specs, save_native_checkpoint
+
+TRAIN_STATE_FILE = "train_state.npz"
+
+
+def _train_state_path(experiment_directory: str) -> str:
+    return os.path.join(experiment_directory, NATIVE_SUBDIR, TRAIN_STATE_FILE)
+
+
+def _save_train_state(experiment_directory: str, carry, epoch: int,
+                      losses: Sequence[float]) -> str:
+    """Persist the FULL training carry (params, latent codes, both Adam
+    states, RNG key) plus the epoch counter and loss history, atomically.
+
+    The carry is stored as its flattened leaves: `train_deepsdf` rebuilds an
+    identical pytree structure from specs.json on resume, so leaf order is
+    deterministic and no treedef serialization is needed. Written via a
+    temp file + rename so a kill mid-write never corrupts the last good
+    snapshot."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(carry)
+    arrays = {f"leaf_{i:05d}": np.asarray(l) for i, l in enumerate(leaves)}
+    arrays["epoch"] = np.asarray(int(epoch), np.int64)
+    arrays["losses"] = np.asarray(losses, np.float64)
+    path = _train_state_path(experiment_directory)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    # np.savez appends ".npz" to names that lack it — keep the suffix LAST
+    tmp = path[: -len(".npz")] + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
+    return path
+
+
+def _load_train_state(experiment_directory: str, carry_template):
+    """-> (carry, epoch, losses) with every leaf restored exactly (dtypes
+    included: f32 weights/moments, i32 Adam step counts, u32 RNG key)."""
+    import jax
+    import jax.numpy as jnp
+
+    path = _train_state_path(experiment_directory)
+    structure = jax.tree_util.tree_structure(carry_template)
+    template_leaves = jax.tree_util.tree_leaves(carry_template)
+    with np.load(path) as z:
+        keys = sorted(k for k in z.files if k.startswith("leaf_"))
+        if len(keys) != len(template_leaves):
+            raise ValueError(
+                f"{path} holds {len(keys)} leaves but the experiment's "
+                f"training state has {len(template_leaves)} — specs.json or "
+                "the dataset changed since the snapshot; delete it to "
+                "restart from scratch")
+        leaves = [jnp.asarray(z[k]) for k in keys]
+        for saved, tmpl in zip(leaves, template_leaves):
+            if saved.shape != tmpl.shape:
+                raise ValueError(
+                    f"{path} leaf shape {saved.shape} != expected "
+                    f"{tmpl.shape} — specs.json or the dataset changed "
+                    "since the snapshot; delete it to restart from scratch")
+        epoch = int(z["epoch"])
+        losses = [float(x) for x in z["losses"]]
+    return jax.tree_util.tree_unflatten(structure, leaves), epoch, losses
 
 
 def _split_names(split: Optional[object]) -> Optional[List[str]]:
@@ -131,6 +191,8 @@ def train_deepsdf(
     checkpoint: str = "latest",
     mesh=None,
     epochs_per_call: int = 25,
+    snapshot_every: Optional[int] = None,
+    resume: bool = False,
     log=print,
 ) -> TrainResult:
     """Train a DeepSDF decoder + latent table from an experiment directory.
@@ -149,6 +211,16 @@ def train_deepsdf(
     and sample banks are replicated, which is the right sharding at fruit
     scale (parameter sharding is never warranted; SURVEY.md section 5,
     distributed backend).
+
+    `snapshot_every=N` persists, every N epochs: (a) the inference
+    checkpoint `<experiment>/native/<checkpoint>.npz` (so pipelines can use
+    the in-progress decoder — the upstream trainer's rolling "latest.pth"
+    convention) and (b) the full training state
+    (`<experiment>/native/train_state.npz`: params, codes, both Adam
+    states, RNG key, epoch, loss history — written atomically).
+    `resume=True` restores that state exactly — the continued run is
+    bit-identical to an uninterrupted one (tested,
+    test_train.py::test_snapshot_resume_is_bit_identical).
     """
     import jax
     import jax.numpy as jnp
@@ -313,12 +385,26 @@ def train_deepsdf(
         ))
     carry = (params, codes0, net_state, cod_state, key)
     losses: list = []
+    e = 0
+    if resume and os.path.isfile(_train_state_path(experiment_directory)):
+        carry, e, losses = _load_train_state(experiment_directory, carry)
+        log(f"resumed at epoch {e}/{num_epochs} from "
+            f"{_train_state_path(experiment_directory)}")
     epochs_per_call = max(1, min(int(epochs_per_call), num_epochs))
     t0 = time.time()
     t_first = None  # end of the first chunk = compile + one chunk of work
-    e = 0
+
+    def snapshot():
+        save_native_checkpoint(experiment_directory, checkpoint, carry[0],
+                               spec, latent_codes=np.asarray(carry[1]))
+        _save_train_state(experiment_directory, carry, e, losses)
+
     while e < num_epochs:
         n = min(epochs_per_call, num_epochs - e)
+        if snapshot_every:
+            # land chunk ends exactly on snapshot boundaries so a resumed
+            # run replays the same chunking (bit-identical continuation)
+            n = min(n, snapshot_every - e % snapshot_every)
         carry, chunk_losses = run_chunk(
             carry, jnp.arange(e, e + n, dtype=jnp.float32),
             pos_d, pos_nd, neg_d, neg_nd)
@@ -328,6 +414,8 @@ def train_deepsdf(
         e += n
         log(f"epoch {e:4d}/{num_epochs}  loss {losses[-1]:.5f}  "
             f"({time.time() - t0:.1f}s)")
+        if snapshot_every and e % snapshot_every == 0 and e < num_epochs:
+            snapshot()
     params, codes = carry[0], carry[1]
     timing = {
         "wall_s": time.time() - t0,
@@ -344,6 +432,10 @@ def train_deepsdf(
             experiment_directory, checkpoint, params, spec,
             latent_codes=np.asarray(codes),
         )
+        if snapshot_every:
+            # keep the training state current too, so a later resume with a
+            # larger num_epochs extends this run instead of restarting
+            _save_train_state(experiment_directory, carry, e, losses)
         log(f"saved {path}")
     return TrainResult(params, np.asarray(codes), np.asarray(losses), names,
                        path, timing)

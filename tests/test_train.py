@@ -139,6 +139,68 @@ def test_training_survives_clamp_overshoot(tmp_path):
         f"training died after overshoot: {losses[:5]} -> {losses[-10:]}")
 
 
+def test_snapshot_resume_is_bit_identical(tmp_path):
+    """Crash recovery: `snapshot_every` persists the full training state
+    mid-run (params, codes, both Adam states, RNG key, loss history) and
+    `resume=True` continues from it — the resumed run must be BIT-identical
+    to an uninterrupted one, not merely close."""
+    data = str(tmp_path / "data")
+    _make_dataset(data, n_scenes=6)
+    exp_a = str(tmp_path / "exp_straight")
+    exp_b = str(tmp_path / "exp_resumed")
+    _make_experiment(exp_a, data)
+    _make_experiment(exp_b, data)
+
+    res_a = train_deepsdf(exp_a, num_epochs=10, save=False,
+                          log=lambda *a: None)
+
+    # leg 1: snapshots at epoch 5; save=False so the only state on disk is
+    # the MID-RUN snapshot — i.e. a crash between epochs 5 and 10
+    train_deepsdf(exp_b, num_epochs=10, save=False, snapshot_every=5,
+                  log=lambda *a: None)
+    # the rolling inference checkpoint written at the snapshot must be a
+    # valid experiment-dir checkpoint on its own
+    params_mid, spec_mid = config_decoder(exp_b)
+    assert spec_mid.code_length == 4
+    assert len(jax.tree_util.tree_leaves(params_mid)) > 0
+    codes_mid = load_latent_vectors(exp_b)
+    assert codes_mid.shape == (6, 4)
+
+    # leg 2: resume from epoch 5 and run to 10
+    res_b = train_deepsdf(exp_b, num_epochs=10, save=False, resume=True,
+                          log=lambda *a: None)
+
+    np.testing.assert_array_equal(np.asarray(res_a.losses),
+                                  np.asarray(res_b.losses))
+    np.testing.assert_array_equal(res_a.latent_codes, res_b.latent_codes)
+    for la, lb in zip(jax.tree_util.tree_leaves(res_a.params),
+                      jax.tree_util.tree_leaves(res_b.params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_resume_rejects_mismatched_experiment(tmp_path):
+    """A stale train_state from a DIFFERENT architecture must be refused
+    with a clear error, not silently loaded into the wrong pytree."""
+    data = str(tmp_path / "data")
+    _make_dataset(data, n_scenes=6)
+    exp = str(tmp_path / "exp")
+    _make_experiment(exp, data)
+    # num_epochs > snapshot_every so a MID-RUN snapshot lands on disk
+    train_deepsdf(exp, num_epochs=8, save=False, snapshot_every=5,
+                  log=lambda *a: None)
+    from hortimapping_tpu.train.deepsdf import _train_state_path
+    assert os.path.isfile(_train_state_path(exp))
+    # grow the architecture under the same experiment dir
+    with open(os.path.join(exp, "specs.json")) as f:
+        specs = json.load(f)
+    specs["NetworkSpecs"]["dims"] = [48, 48, 48, 48]
+    with open(os.path.join(exp, "specs.json"), "w") as f:
+        json.dump(specs, f)
+    with pytest.raises(ValueError, match="specs.json or the dataset changed"):
+        train_deepsdf(exp, num_epochs=10, save=False, resume=True,
+                      log=lambda *a: None)
+
+
 def test_training_data_parallel_mesh(tmp_path):
     """Data-parallel training over the 8-device mesh: gradients pmean-sync,
     state stays replicated, loss converges like the single-device run."""

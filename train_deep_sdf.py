@@ -24,12 +24,19 @@ import click
               help="override specs.json NumEpochs")
 @click.option("--seed", default=0, type=int)
 @click.option("--checkpoint", default="latest")
-def main(experiment, data_source, epochs, seed, checkpoint):
+@click.option("--snapshot_every", default=None, type=int,
+              help="persist the rolling checkpoint + full training state "
+                   "every N epochs (crash recovery)")
+@click.option("--resume", is_flag=True,
+              help="continue from <experiment>/native/train_state.npz "
+                   "(bit-identical to an uninterrupted run)")
+def main(experiment, data_source, epochs, seed, checkpoint, snapshot_every,
+         resume):
     from hortimapping_tpu.train import train_deepsdf
 
     train_deepsdf(
         experiment, data_source=data_source, num_epochs=epochs, seed=seed,
-        checkpoint=checkpoint,
+        checkpoint=checkpoint, snapshot_every=snapshot_every, resume=resume,
     )
 
 
