@@ -107,13 +107,14 @@ def main():
     obs, lat0, T0 = build_batch(spec, cfg, N_FRUITS)
     mesher = MeshExtractor(params, spec, voxels_dim=voxels_dim, cube_radius=cube_radius)
 
-    # retrieval warm start (optim/warmstart.py): per-fruit (code, scale)
-    # from the trained latent table scored against the observed cloud —
-    # held-out validated CD -9% over the mean init at the same schedule
+    # retrieval warm start (optim/warmstart.py): per-fruit code from the
+    # trained latent table scored against the observed cloud — held-out
+    # validated CD -9% over the mean init at the same schedule
     # (docs/PERF.md round 3, re-measured after the NN-metric fix). bf16
-    # scoring over 128 points x 3 scales keeps the in-loop cost at
-    # ~1.6 ms/fruit for nearly all of the quality win, and is what lets
-    # the coarse phase stop at 8 iterations.
+    # scoring over 128 points at UNIT scale (~0.5 ms/fruit): on 4 held-out
+    # seed sets the 3-scale grid was never better (round 4, "unit-scale
+    # retrieval on wild") — the Sim(3) solver owns scale. The warm start
+    # is what lets the coarse phase stop at 8 iterations.
     from hortimapping_tpu.models.workspace import load_latent_vectors
     from hortimapping_tpu.optim.warmstart import retrieval_joint_opt
 
@@ -127,7 +128,8 @@ def main():
         # device buffer still computing — the fetch below is the sync point
         res = retrieval_joint_opt(
             params, spec, cfg, latent_table, obs, T0, cube_radius,
-            n_score_pts=128, n_scales=3, score_bf16=True,
+            n_score_pts=128, n_scales=1, scale_min=1.0, scale_max=1.0,
+            score_bf16=True,
         )
         return mesher.pack_solve_with_grids(res)
 

@@ -129,6 +129,12 @@ def test_tpu_solver_yaml_block_parses():
     assert oc.fine_ray_frac == 0.6
     assert oc.fine_sample_frac == 0.75
     assert oc.fine_pts_frac == 0.6
+    # round 4: wild joins lab/greenhouse on UNIT-scale retrieval scoring
+    # (3-scale grid never better on 4 held-out seed sets, ~1.5 ms/fruit
+    # cheaper — docs/PERF.md "unit-scale retrieval on wild")
+    assert oc.init_mode == "retrieval"
+    assert oc.retrieval_n_scales == 1
+    assert oc.retrieval_scale_min == 1.0 and oc.retrieval_scale_max == 1.0
     # everything outside opt.tpu stays byte-identical with the parity config
     base = load_config(os.path.join(root, "wild_pepper.yaml"))
     tpu_opt = dict(cfg["opt"])

@@ -111,10 +111,14 @@ def main(variants):
             ), lm.coarse_to_fine_joint_opt
         raise SystemExit(f"unknown variant {name}")
 
-    # retrieval scoring knobs (env): RETR_PTS, RETR_SCALES, RETR_BF16
+    # retrieval scoring knobs (env): RETR_PTS, RETR_SCALES, RETR_BF16,
+    # RETR_SMIN/RETR_SMAX (RETR_SCALES=1 RETR_SMIN=1 RETR_SMAX=1 = the
+    # unit-scale scorer the greenhouse/lab configs ship)
     retr_pts = int(os.environ.get("RETR_PTS", "256"))
     retr_scales = int(os.environ.get("RETR_SCALES", "5"))
     retr_bf16 = os.environ.get("RETR_BF16", "0") == "1"
+    retr_smin = float(os.environ.get("RETR_SMIN", "0.85"))
+    retr_smax = float(os.environ.get("RETR_SMAX", "1.2"))
 
     for name in variants:
         if name.startswith("retr+"):
@@ -133,6 +137,7 @@ def main(variants):
                 lat_v, T_v, _, _ = retrieval_init_batched(
                     params, spec, table, obs.points_w, obs.point_valid,
                     n_score_pts=retr_pts, n_scales=retr_scales,
+                    scale_min=retr_smin, scale_max=retr_smax,
                     T_init=T0, score_bf16=retr_bf16)
                 return fn(params, spec, c, obs, lat_v, T_v, cube_radius)
         else:
