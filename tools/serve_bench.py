@@ -81,7 +81,8 @@ def main() -> None:
 
         cfg = dataclasses.replace(
             cfg, init_mode="retrieval", coarse_max_iter=8,
-            retrieval_score_pts=128, retrieval_n_scales=3,
+            retrieval_score_pts=128, retrieval_n_scales=1,
+            retrieval_scale_min=1.0, retrieval_scale_max=1.0,
             retrieval_score_bf16=True,
             fine_ray_frac=0.6, fine_sample_frac=0.75, fine_pts_frac=0.6,
         )
