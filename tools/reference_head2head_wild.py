@@ -44,6 +44,15 @@ def main() -> None:
     ap.add_argument("--pose-noise", action="store_true",
                     help="perturb the initial pose (both sides identically) "
                          "and report pose metrics next to the CDs")
+    ap.add_argument("--base-seed", type=int, default=0,
+                    help="offset for fruit generation (codes, scenes, pose "
+                         "noise) so repeated runs pool over FRESH instances")
+    ap.add_argument("--retr-scales", type=int, default=1,
+                    help="retrieval scoring scale-grid size; 1 = the shipped "
+                         "unit-scale scorer (bench.py), 3 = the old grid")
+    ap.add_argument("--json-out", type=str, default=None,
+                    help="dump per-fruit CD + pose metrics per variant as "
+                         "JSON (for pooling across --base-seed runs)")
     args = ap.parse_args()
 
     import torch
@@ -77,7 +86,7 @@ def main() -> None:
         coarse_max_iter=25,
     )
     cat = SyntheticCategory(spec=spec, base_radius=0.06)
-    rng = np.random.default_rng(42)
+    rng = np.random.default_rng(42 + args.base_seed)
     obs_list, lat_list, T_list, gts, T_wo_gts = [], [], [], [], []
     for b in range(args.n_fruits):
         code = (rng.normal(size=spec.code_length) * 0.3).astype(np.float32)
@@ -85,7 +94,8 @@ def main() -> None:
         T_wo[:3, 3] = rng.normal(size=3) * 0.1
         obs, gt = make_scene(cat, code, T_wo, n_frames=cfg.n_frame,
                              n_fg=cfg.n_fg_pix, n_bg=cfg.n_bg_pix,
-                             n_points=cfg.recon_n_pts, seed=b)
+                             n_points=cfg.recon_n_pts,
+                             seed=b + args.base_seed)
         T_wo_init = T_wo
         if args.pose_noise:
             # the imperfect-pose-init regime: same perturbation both sides
@@ -162,11 +172,44 @@ def main() -> None:
     )
     latent_table = load_latent_vectors(
         os.path.join(ROOT, "assets", "synthetic_pepper_32"))
+    # scale grid matches the shipped bench scorer (unit-scale by default
+    # since the round-4 flip, bench.py:125-133)
+    retr_scale_kw = (
+        dict(n_scales=1, scale_min=1.0, scale_max=1.0)
+        if args.retr_scales == 1 else dict(n_scales=args.retr_scales)
+    )
     r_ret = retrieval_joint_opt(
         params, spec, cfg_ret, latent_table, obs_b, T0, 0.08,
-        n_score_pts=128, n_scales=3, score_bf16=True,
+        n_score_pts=128, score_bf16=True, **retr_scale_kw,
     )
     cd_ret = cds(r_ret.latent, r_ret.T_ow)
+
+    def dump_json(ref_rows=None):
+        if not args.json_out:
+            return
+        import json
+
+        out = {"base_seed": args.base_seed, "n_fruits": args.n_fruits,
+               "pose_noise": bool(args.pose_noise),
+               "retr_scales": args.retr_scales, "variants": {}}
+        rows = {"parity": (cd_par, r_par.T_ow), "c2f": (cd_c2f, r_c2f.T_ow),
+                "retrieval": (cd_ret, r_ret.T_ow)}
+        if ref_rows is not None:
+            rows["reference"] = ref_rows
+        if args.pose_noise:
+            out["init_pose"] = [list(map(float, v))
+                                for v in pose_errs(np.asarray(T0))]
+        for name, (cd, T_ows) in rows.items():
+            rec = {"cd_mm": [float(c) * 1e3 for c in np.asarray(cd)]}
+            if args.pose_noise:
+                te, re_, se = pose_errs(T_ows)
+                rec.update(trans_mm=[float(x) for x in te],
+                           rot_deg=[float(x) for x in re_],
+                           scale_pct=[float(x) for x in se])
+            out["variants"][name] = rec
+        with open(args.json_out, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {args.json_out}")
 
     if args.ours_only:
         print("\n== ours only (mean Chamfer-L1 vs analytic GT) ==")
@@ -186,6 +229,7 @@ def main() -> None:
             pose_row("ours parity:        ", r_par.T_ow)
             pose_row("ours c2f:           ", r_c2f.T_ow)
             pose_row("ours retrieval+c2f: ", r_ret.T_ow)
+        dump_json()
         return
 
     # ---- genuine reference ----
@@ -229,6 +273,7 @@ def main() -> None:
         pose_row("ours parity:        ", r_par.T_ow)
         pose_row("ours c2f:           ", r_c2f.T_ow)
         pose_row("ours retrieval+c2f: ", r_ret.T_ow)
+    dump_json(ref_rows=(cd_ref, np.stack(T_refs)))
 
 
 if __name__ == "__main__":
