@@ -309,6 +309,7 @@ def retrieval_joint_opt(
     dispatch, like the plain solve."""
     from hortimapping_tpu.optim.lm import (
         coarse_to_fine_joint_opt,
+        maybe_pose_polish,
         shape_pose_joint_opt_batched,
     )
 
@@ -321,7 +322,12 @@ def retrieval_joint_opt(
     )
     solver = (coarse_to_fine_joint_opt if cfg.coarse_to_fine
               else shape_pose_joint_opt_batched)
-    return solver(params, spec, cfg, obs, lat_r, T_r, cube_radius, pose_known)
+    res = solver(params, spec, cfg, obs, lat_r, T_r, cube_radius, pose_known)
+    # keep this fused path behaviorally identical to joint_opt_packed /
+    # solve_in_chunks: a config with pose_polish_iters > 0 must polish here
+    # too, or tool-vs-pipeline measurements silently diverge
+    return maybe_pose_polish(params, spec, cfg, obs, res, cube_radius,
+                             pose_known)
 
 
 @partial(jax.jit, static_argnames=("spec", "cfg", "cube_radius"))

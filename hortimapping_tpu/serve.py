@@ -328,8 +328,11 @@ class CompletionServer:
             fut.set_exception(DeadlineExceeded(
                 f"fruit {req.fruit_id!r} queued {waited * 1e3:.0f} ms > "
                 f"deadline {req.deadline_s * 1e3:.0f} ms"))
-        with self._lock:
-            self._expired += 1
+            # count only requests this deadline actually expired — a Future
+            # already resolved (e.g. client cancelled between submit and
+            # pack) is excluded as 'cancelled', not misattributed here
+            with self._lock:
+                self._expired += 1
         return True
 
     def _batch_width(self, n: int) -> int:

@@ -393,6 +393,8 @@ def train_deepsdf(
     epochs_per_call = max(1, min(int(epochs_per_call), num_epochs))
     t0 = time.time()
     t_first = None  # end of the first chunk = compile + one chunk of work
+    e_start = e     # resume offset: only num_epochs - e_start epochs run
+    first_chunk_n = 0  # actual first-chunk length (snapshot_every can cut it)
 
     def snapshot():
         save_native_checkpoint(experiment_directory, checkpoint, carry[0],
@@ -411,6 +413,7 @@ def train_deepsdf(
         losses.extend(np.asarray(chunk_losses).tolist())
         if t_first is None:
             t_first = time.time()
+            first_chunk_n = n
         e += n
         log(f"epoch {e:4d}/{num_epochs}  loss {losses[-1]:.5f}  "
             f"({time.time() - t0:.1f}s)")
@@ -420,9 +423,12 @@ def train_deepsdf(
     timing = {
         "wall_s": time.time() - t0,
         # steady-state excludes the first chunk (jit compile + warmup);
-        # meaningful only when more than one chunk ran
+        # meaningful only when more than one chunk ran. Uses the ACTUAL
+        # first-chunk length and resume offset: snapshot_every can truncate
+        # the first chunk, and resume=True starts mid-run — assuming
+        # num_epochs - epochs_per_call miscounts both (advisor round 4)
         "steady_wall_s": (time.time() - t_first) if t_first else 0.0,
-        "steady_epochs": max(0, num_epochs - epochs_per_call),
+        "steady_epochs": max(0, (num_epochs - e_start) - first_chunk_n),
         "steps_per_epoch": steps_per_epoch,
     }
 

@@ -466,3 +466,35 @@ def test_serve_warmup_multiple_buckets():
         results = [f.result(timeout=600) for f in futs]
     assert all(not r.failed for r in results)
     assert all(r.batch_size == 2 for r in results)
+
+
+def test_serve_expire_skips_done_future():
+    """A request whose Future is already resolved (client cancelled between
+    submit and pack) is dropped from the batch but must NOT count as
+    deadline_expired (advisor round 4: the stat was incremented outside the
+    fut.done() guard, misattributing cancellations as expiries)."""
+    import time
+    from concurrent.futures import Future
+
+    from hortimapping_tpu.serve import DeadlineExceeded
+
+    params, spec = config_decoder(ASSET_DIR)
+    req = _requests(spec, 1, seed=5)[0]
+    import dataclasses
+    req = dataclasses.replace(req, deadline_s=0.0)
+    srv = CompletionServer(params, spec, CFG, cube_radius=0.1, max_batch=2,
+                           use_mesh=False)
+    try:
+        t_past = time.perf_counter() - 1.0
+        # cancelled before the worker packs: dropped, but not 'expired'
+        fut_cancelled: Future = Future()
+        fut_cancelled.cancel()
+        assert srv._expire((req, fut_cancelled, t_past)) is True
+        assert srv.stats()["deadline_expired"] == 0
+        # a live future past its deadline IS expired and counted
+        fut_live: Future = Future()
+        assert srv._expire((req, fut_live, t_past)) is True
+        assert srv.stats()["deadline_expired"] == 1
+        assert isinstance(fut_live.exception(), DeadlineExceeded)
+    finally:
+        srv.stop()

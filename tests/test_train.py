@@ -215,3 +215,34 @@ def test_training_data_parallel_mesh(tmp_path):
     assert np.isfinite(res.losses).all()
     assert res.losses[-1] < 0.5 * res.losses[0], (
         f"DP loss did not drop: {res.losses[0]:.4f} -> {res.losses[-1]:.4f}")
+
+
+def test_timing_steady_epochs_counts_actual_first_chunk(tmp_path):
+    """steady_epochs must subtract the ACTUAL first-chunk length (advisor
+    round 4): snapshot_every can truncate the first chunk below
+    epochs_per_call, and a resumed run starts mid-run — the old
+    num_epochs - epochs_per_call formula miscounted both."""
+    data = str(tmp_path / "data")
+    _make_dataset(data, n_scenes=6)
+
+    # fresh run, snapshot_every truncates the first chunk to 5 epochs:
+    # 10 total - 5 first-chunk = 5 steady (old formula: max(0, 10-25) = 0)
+    exp_a = str(tmp_path / "exp_snap")
+    _make_experiment(exp_a, data)
+    res_a = train_deepsdf(exp_a, num_epochs=10, save=False, snapshot_every=5,
+                          log=lambda *a: None)
+    assert res_a.timing["steady_epochs"] == 5
+
+    # resumed run: only epochs 5..10 execute and they all land in the
+    # resumed run's FIRST chunk -> 0 steady epochs
+    res_b = train_deepsdf(exp_a, num_epochs=10, save=False, resume=True,
+                          log=lambda *a: None)
+    assert res_b.timing["steady_epochs"] == 0
+
+    # plain multi-chunk run: 10 total, epochs_per_call=4 -> first chunk 4,
+    # steady 6
+    exp_c = str(tmp_path / "exp_chunks")
+    _make_experiment(exp_c, data)
+    res_c = train_deepsdf(exp_c, num_epochs=10, save=False, epochs_per_call=4,
+                          log=lambda *a: None)
+    assert res_c.timing["steady_epochs"] == 6

@@ -342,3 +342,39 @@ def test_retrieval_prior_shrinkage():
         np.linalg.norm(np.asarray(table) - mean_code, axis=1).argmin()]
     for b in range(2):
         np.testing.assert_array_equal(np.asarray(lat_pr[b]), nearest)
+
+
+def test_retrieval_joint_opt_applies_pose_polish():
+    """A config with pose_polish_iters > 0 must polish on the FUSED
+    retrieval+solve path too (advisor round 4: retrieval_joint_opt skipped
+    maybe_pose_polish while joint_opt_packed / solve_in_chunks applied it,
+    so tool-vs-pipeline measurements silently diverged)."""
+    import dataclasses
+
+    from hortimapping_tpu.optim.lm import maybe_pose_polish
+    from hortimapping_tpu.optim.warmstart import retrieval_joint_opt
+
+    params, spec = config_decoder(ASSET_DIR)
+    table, obs, _ = _table_and_fruits(spec, n_fruits=2)
+    T0 = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (2, 1, 1))
+    cfg_pp = dataclasses.replace(CFG, pose_polish_iters=3)
+
+    lat_r, T_r, _, _ = retrieval_init_batched(
+        params, spec, table, obs.points_w, obs.point_valid,
+        top_k=4, n_score_pts=64, T_init=T0,
+    )
+    plain = shape_pose_joint_opt_batched(
+        params, spec, cfg_pp, obs, lat_r, T_r, 0.1)
+    want = maybe_pose_polish(params, spec, cfg_pp, obs, plain, 0.1,
+                             pose_known=False)
+    got = retrieval_joint_opt(params, spec, cfg_pp, table, obs, T0, 0.1,
+                              top_k=4, n_score_pts=64)
+    # the polish must have RUN (it bills extra iterations)...
+    assert (np.asarray(want.iter_count) > np.asarray(plain.iter_count)).all()
+    # ...and the fused path must match the two-step polished result
+    np.testing.assert_array_equal(np.asarray(got.iter_count),
+                                  np.asarray(want.iter_count))
+    np.testing.assert_allclose(np.asarray(got.T_ow), np.asarray(want.T_ow),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.latent),
+                               np.asarray(want.latent), atol=1e-5)
