@@ -160,8 +160,13 @@ def make_challenge_fruit(
         T_wc[:3, 0], T_wc[:3, 1], T_wc[:3, 2], T_wc[:3, 3] = xc, yc, zc, cam_pos
         depth, inst, rgb = render_frame(T_wc, K, W, H, fruits, wall_z)
         name = f"{fi:05d}"
+        # the real challenge masks are {0,1}-valued (the reference consumes
+        # them raw: `depth*mask` with depth_trunc=1.0, `dataloader.py:113`,
+        # and `mask == submap_id` with submap_id=1,
+        # `run_shape_completion_challenge.py:165`); 255-valued masks would
+        # make the genuine reference loader truncate every pixel
         cv2.imwrite(os.path.join(out_dir, "input", "masks", name + ".png"),
-                    ((inst == 2) * 255).astype(np.uint8))
+                    (inst == 2).astype(np.uint8))
         np.savetxt(os.path.join(out_dir, "input", "poses", name + ".txt"), T_wc)
         cv2.imwrite(os.path.join(out_dir, "input", "color", name + ".png"),
                     cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))

@@ -32,6 +32,134 @@ def _stub_module(name: str, **attrs) -> types.ModuleType:
     return mod
 
 
+def _install_open3d_geometry(o3d: types.ModuleType) -> None:
+    """Numpy-backed Open3D stubs for the APIs `/root/reference/dataloader.py`
+    calls, faithful to the documented Open3D semantics (implemented FROM the
+    Open3D docs, deliberately NOT from `hortimapping_tpu/data/rgbd.py`, so
+    the loader differential test is not circular):
+
+    - `RGBDImage.create_from_color_and_depth(color, depth, depth_scale,
+      depth_trunc, convert_rgb_to_intensity)`: depth is converted to float,
+      divided by `depth_scale`, and values >= `depth_trunc` are set to 0
+      (invalid).
+    - `PointCloud.create_from_rgbd_image(rgbd, intrinsic, extrinsic)`: for
+      every pixel (u, v) with depth d > 0, z = d, x = (u - cx) * z / fx,
+      y = (v - cy) * z / fy in the camera frame (row-major pixel scan), the
+      cloud is transformed by extrinsic^-1 (extrinsic maps world->camera),
+      and uint8 colors are scaled to [0, 1].
+    - `io.read_point_cloud`: minimal PLY vertex reader (binary little-endian
+      or ascii, x/y/z [+ red/green/blue]) written from the PLY spec.
+    """
+    if getattr(o3d, "_horti_geometry_installed", False):  # pragma: no cover
+        return
+    o3d._horti_geometry_installed = True
+
+    class _PointCloud:
+        def __init__(self, points=None, colors=None):
+            self.points = np.zeros((0, 3), np.float64) if points is None else points
+            self.colors = np.zeros((0, 3), np.float64) if colors is None else colors
+
+        def __iadd__(self, other):
+            self.points = np.concatenate([np.asarray(self.points),
+                                          np.asarray(other.points)], axis=0)
+            self.colors = np.concatenate([np.asarray(self.colors),
+                                          np.asarray(other.colors)], axis=0)
+            return self
+
+        def __add__(self, other):
+            out = _PointCloud(np.asarray(self.points), np.asarray(self.colors))
+            out += other
+            return out
+
+        @staticmethod
+        def create_from_rgbd_image(rgbd, intrinsic, extrinsic=None):
+            depth = np.asarray(rgbd.depth, np.float64)
+            color = np.asarray(rgbd.color)
+            fx, fy = intrinsic.fx, intrinsic.fy
+            cx, cy = intrinsic.cx, intrinsic.cy
+            v, u = np.nonzero(depth > 0.0)   # row-major scan order
+            z = depth[v, u]
+            pts_cam = np.stack([(u - cx) * z / fx, (v - cy) * z / fy, z], -1)
+            if extrinsic is not None:
+                T_cam_to_world = np.linalg.inv(np.asarray(extrinsic, np.float64))
+                pts = pts_cam @ T_cam_to_world[:3, :3].T + T_cam_to_world[:3, 3]
+            else:
+                pts = pts_cam
+            cols = color[v, u].astype(np.float64)
+            if color.dtype == np.uint8:
+                cols = cols / 255.0
+            return _PointCloud(pts, cols)
+
+    class _Image:
+        def __init__(self, arr):
+            self.arr = np.asarray(arr)
+
+        def __array__(self, dtype=None):
+            return np.asarray(self.arr, dtype)
+
+    class _RGBDImage:
+        def __init__(self, color, depth):
+            self.color, self.depth = color, depth
+
+        @staticmethod
+        def create_from_color_and_depth(color, depth, depth_scale=1000.0,
+                                        depth_trunc=3.0,
+                                        convert_rgb_to_intensity=True):
+            d = np.asarray(depth, np.float64) / float(depth_scale)
+            d = np.where(d >= depth_trunc, 0.0, d)
+            c = np.asarray(color)
+            if convert_rgb_to_intensity:
+                c = (c.astype(np.float64) / 255.0).mean(axis=-1)
+            return _RGBDImage(c, d)
+
+    class _PinholeCameraIntrinsic:
+        def set_intrinsics(self, width, height, fx, fy, cx, cy):
+            self.width, self.height = width, height
+            self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
+
+    def _read_point_cloud(path):
+        with open(path, "rb") as f:
+            assert f.readline().strip() == b"ply", path
+            fmt, count, props = None, 0, []
+            while True:
+                line = f.readline().decode("ascii").strip()
+                if line.startswith("format"):
+                    fmt = line.split()[1]
+                elif line.startswith("element vertex"):
+                    count = int(line.split()[2])
+                elif line.startswith("element"):
+                    raise NotImplementedError(f"non-vertex element: {line}")
+                elif line.startswith("property"):
+                    props.append((line.split()[1], line.split()[2]))
+                elif line == "end_header":
+                    break
+            dt_map = {"float": "<f4", "float32": "<f4", "double": "<f8",
+                      "float64": "<f8", "uchar": "u1", "uint8": "u1"}
+            if fmt == "ascii":
+                rows = np.loadtxt(f, max_rows=count, ndmin=2)
+                rec = {name: rows[:, i] for i, (_, name) in enumerate(props)}
+            else:
+                assert fmt == "binary_little_endian", fmt
+                dtype = np.dtype([(name, dt_map[t]) for t, name in props])
+                rec_arr = np.frombuffer(f.read(count * dtype.itemsize), dtype)
+                rec = {name: rec_arr[name] for _, name in props}
+            pts = np.stack([rec["x"], rec["y"], rec["z"]], -1).astype(np.float64)
+            cols = np.zeros((0, 3), np.float64)
+            if "red" in rec:
+                cols = np.stack([rec["red"], rec["green"], rec["blue"]], -1)
+                cols = cols.astype(np.float64) / 255.0
+            return _PointCloud(pts, cols)
+
+    geom = _stub_module(
+        "open3d.geometry", PointCloud=_PointCloud, Image=_Image,
+        RGBDImage=_RGBDImage,
+    )
+    cam = _stub_module(
+        "open3d.camera", PinholeCameraIntrinsic=_PinholeCameraIntrinsic)
+    io = _stub_module("open3d.io", read_point_cloud=_read_point_cloud)
+    o3d.geometry, o3d.camera, o3d.io = geom, cam, io
+
+
 def install() -> None:
     """Stub missing deps, add the reference to sys.path, no-op .cuda()."""
     global _installed
@@ -50,7 +178,8 @@ def install() -> None:
 
     _stub_module("addict", Dict=_AttrDict)
     _stub_module("plyfile")
-    _stub_module("open3d")
+    o3d = _stub_module("open3d")
+    _install_open3d_geometry(o3d)
     sk = _stub_module("skimage")
     sk.measure = _stub_module("skimage.measure")
 
