@@ -69,6 +69,17 @@ class JointOptConfig:
     lm_eye: bool = False
     lm_lambda_0: float = 0.1
     s_damp: float = 1e-3
+    # damped rotation tangents (TPU extension, `opt.tpu`; no reference
+    # equivalent). Same mechanism as the reference's scale damping
+    # (`optimizer.py:217-218`) applied to rotation: under the paper's wild
+    # workload yaw about the fruit's stem axis is near-unobservable and BOTH
+    # solvers trade it for shape fit, ending with ~4x the initial rotation
+    # error (docs/PERF.md round-4 pose-noise study). `yaw_damp` anchors the
+    # object-frame w_y tangent (the stem/symmetry axis, the reference's
+    # init-rot axis — `utils.py:447-457`) near the init; `rot_damp` damps
+    # all three rotation tangents. 0 = off (reference behavior).
+    yaw_damp: float = 0.0
+    rot_damp: float = 0.0
     # pose initial guess
     pose_init_rot_on: bool = True
     pose_init_scale_on: bool = True
@@ -163,6 +174,14 @@ class JointOptConfig:
     # 0 = off; w -> inf recovers the reference's mean init.
     retrieval_prior_w: float = 0.0
     multi_start: int = 1
+    # selective multi-start rescue (optim/warmstart.selective_rescue): after
+    # the normal solve, lanes that ran out of budget or whose final LM
+    # objective is a robust outlier (log-cost > median + rescue_cost_z *
+    # 1.4826 MAD) re-solve from their top-`rescue_starts` retrieved starts
+    # in one widened batch; the rescue replaces a lane only if its final
+    # objective is strictly lower. 0 = off. Retrieval init only.
+    rescue_starts: int = 0
+    rescue_cost_z: float = 3.0
     # code-frozen pose polish after the joint solve (optim/lm.
     # pose_polish_batched): up to N extra LM iterations moving ONLY the
     # Sim(3)/SE(3) pose against the converged shape. 0 = off.
@@ -256,7 +275,12 @@ class JointOptConfig:
             lm_on=bool(lm.get("lm_on", d.lm_on)),
             lm_eye=bool(lm.get("lm_eye", d.lm_eye)),
             lm_lambda_0=float(lm.get("lm_lambda_0", d.lm_lambda_0)),
-            s_damp=float(lm.get("s_damp", d.s_damp)),
+            # opt.tpu.s_damp (solver-variant override, e.g. annealed scale
+            # damping for warm-started solves) wins over the reference-schema
+            # opt.lm.s_damp when both are present
+            s_damp=float(tpu.get("s_damp", lm.get("s_damp", d.s_damp))),
+            yaw_damp=float(tpu.get("yaw_damp", d.yaw_damp)),
+            rot_damp=float(tpu.get("rot_damp", d.rot_damp)),
             pose_init_rot_on=bool(pi.get("rot_on", d.pose_init_rot_on)),
             pose_init_scale_on=bool(pi.get("scale_on", d.pose_init_scale_on)),
             recon_n_pts=int(rec.get("n_pts", d.recon_n_pts)),
@@ -307,6 +331,8 @@ class JointOptConfig:
             retrieval_score_bf16=bool(tpu.get("retrieval_score_bf16", d.retrieval_score_bf16)),
             retrieval_prior_w=float(tpu.get("retrieval_prior_w", d.retrieval_prior_w)),
             multi_start=int(tpu.get("multi_start", d.multi_start)),
+            rescue_starts=int(tpu.get("rescue_starts", d.rescue_starts)),
+            rescue_cost_z=float(tpu.get("rescue_cost_z", d.rescue_cost_z)),
             pose_polish_iters=int(tpu.get("pose_polish_iters", d.pose_polish_iters)),
             outlier_scale_min=float(out.get("scale_min", d.outlier_scale_min)),
             outlier_scale_max=float(out.get("scale_max", d.outlier_scale_max)),

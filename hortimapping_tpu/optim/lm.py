@@ -168,6 +168,15 @@ def _assemble_normal_equations(
     H = H_d + H_m + H_r + H_c
     if cfg.scale_on:
         H = H.at[pose_dim - 1, pose_dim - 1].add(cfg.s_damp)   # optimizer.py:217-218
+    # damped rotation tangents (TPU extension, config.py yaw_damp/rot_damp):
+    # the update is a LEFT perturbation on T_ow (exp(delta) @ T_ow), so the
+    # w tangents [3:6] rotate about the OBJECT frame's own axes — w_y
+    # (index 4) is the fruit's canonical stem/symmetry axis, the direction
+    # the pose-noise study shows both solvers trade away for shape fit.
+    if cfg.yaw_damp > 0.0:
+        H = H.at[4, 4].add(cfg.yaw_damp)
+    if cfg.rot_damp > 0.0:
+        H = H.at[jnp.arange(3, 6), jnp.arange(3, 6)].add(cfg.rot_damp)
     b = b_d + b_m + b_r + b_c
 
     count_safe = jnp.maximum(obs_count, 1.0)

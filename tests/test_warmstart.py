@@ -378,3 +378,192 @@ def test_retrieval_joint_opt_applies_pose_polish():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(got.latent),
                                np.asarray(want.latent), atol=1e-5)
+
+
+def test_selective_rescue_targets_hard_lanes():
+    """selective_rescue re-dispatches ONLY unconverged/outlier lanes and
+    replaces a lane iff the K-start re-solve ends at a strictly lower LM
+    objective; converged lanes are untouched bit for bit."""
+    import dataclasses
+
+    from hortimapping_tpu.optim.lm import solve_in_chunks
+    from hortimapping_tpu.optim.state import OptResult
+    from hortimapping_tpu.optim.warmstart import selective_rescue
+
+    params, spec = config_decoder(ASSET_DIR)
+    table, obs, _ = _table_and_fruits(spec, n_fruits=3)
+    cfg = dataclasses.replace(CFG, init_mode="retrieval", rescue_starts=3,
+                              retrieval_score_pts=64)
+    T0 = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (3, 1, 1))
+
+    good = solve_in_chunks(params, spec, cfg, obs,
+                           jnp.tile(jnp.mean(table, 0)[None], (3, 1)), T0, 0.1)
+    # hand-mark lanes: 0 converged (kept), 1-2 unconverged with a garbage
+    # estimate (rescued) — deterministic hard/easy split independent of the
+    # tiny test decoder's convergence behavior
+    bad_lat = good.latent.at[1:].add(5.0)
+    res = OptResult(
+        latent=bad_lat, T_ow=good.T_ow, iter_count=good.iter_count,
+        failed=jnp.zeros(3, bool),
+        converged=jnp.array([True, False, False]),
+    )
+    cost0 = np.asarray(objective_value_batched(
+        params, spec, cfg, obs, res.latent, res.T_ow, 0.1))
+
+    out, info = selective_rescue(
+        params, spec, cfg, obs, res, table, T0, 0.1)
+
+    assert info["lanes"] == [1, 2]
+    assert info["n_rescued"] == 2
+    # untouched converged lane
+    np.testing.assert_array_equal(np.asarray(out.latent[0]),
+                                  np.asarray(res.latent[0]))
+    np.testing.assert_array_equal(np.asarray(out.T_ow[0]),
+                                  np.asarray(res.T_ow[0]))
+    # rescued lanes only ever improve the solver's own objective
+    cost1 = np.asarray(objective_value_batched(
+        params, spec, cfg, obs, out.latent, out.T_ow, 0.1))
+    assert (cost1 <= cost0 + 1e-6).all()
+    # the garbage lanes are far from any solve basin: the rescue MUST accept
+    assert info["accepted"] == [0, 1]
+    assert (cost1[1:] < cost0[1:]).all()
+
+
+def test_selective_rescue_noop_when_all_converged():
+    """All lanes converged and no cost outlier -> no dispatch, result
+    returned unchanged."""
+    import dataclasses
+
+    from hortimapping_tpu.optim.state import OptResult
+    from hortimapping_tpu.optim.warmstart import selective_rescue
+
+    params, spec = config_decoder(ASSET_DIR)
+    table, obs, _ = _table_and_fruits(spec, n_fruits=2)
+    cfg = dataclasses.replace(CFG, init_mode="retrieval", rescue_starts=3,
+                              retrieval_score_pts=64)
+    T0 = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (2, 1, 1))
+    lat = jnp.tile(jnp.mean(table, 0)[None], (2, 1))
+    res = OptResult(latent=lat, T_ow=T0, iter_count=jnp.full(2, 3),
+                    failed=jnp.zeros(2, bool), converged=jnp.ones(2, bool))
+
+    out, info = selective_rescue(params, spec, cfg, obs, res, table, T0, 0.1)
+    assert info["n_rescued"] == 0 and info["lanes"] == []
+    np.testing.assert_array_equal(np.asarray(out.latent), np.asarray(res.latent))
+
+
+def test_warmstart_solve_rescue_dispatch():
+    """rescue_starts > 0 on the pipeline entry must route through
+    selective_rescue (converged easy lanes identical to the plain retrieval
+    solve; the knob must not silently no-op)."""
+    import dataclasses
+
+    from hortimapping_tpu.optim.warmstart import warmstart_solve
+
+    params, spec = config_decoder(ASSET_DIR)
+    table, obs, _ = _table_and_fruits(spec, n_fruits=2)
+    lat0 = jnp.tile(jnp.mean(table, axis=0)[None], (2, 1))
+    T0 = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (2, 1, 1))
+    cfg_r = dataclasses.replace(CFG, init_mode="retrieval",
+                                retrieval_score_pts=64)
+    cfg_rs = dataclasses.replace(cfg_r, rescue_starts=3)
+
+    plain = warmstart_solve(params, spec, cfg_r, table, obs, lat0, T0, 0.1)
+    rescued = warmstart_solve(params, spec, cfg_rs, table, obs, lat0, T0, 0.1)
+    # max_iter=3 caps every lane below convergence -> all lanes re-solve
+    # from 3 starts; the accepted results can only LOWER the LM objective
+    c_plain = np.asarray(objective_value_batched(
+        params, spec, cfg_r, obs, plain.latent, plain.T_ow, 0.1))
+    c_res = np.asarray(objective_value_batched(
+        params, spec, cfg_r, obs, rescued.latent, rescued.T_ow, 0.1))
+    assert (c_res <= c_plain + 1e-6).all()
+
+
+def test_yaw_damp_anchors_rotation():
+    """A huge yaw_damp must hold the object-frame w_y rotation tangent at
+    the (perturbed) init while translation still converges; yaw_damp=0 is
+    bit-identical to the baseline solver (the knob compiles away)."""
+    import dataclasses
+
+    from hortimapping_tpu.ops.lie import rotation_matrix_to_angle
+
+    params, spec = config_decoder(ASSET_DIR)
+    cat = SyntheticCategory(spec=spec)
+    rng = np.random.default_rng(11)
+    code = (rng.normal(size=spec.code_length) * 0.4).astype(np.float32)
+    T_wo = np.eye(4, dtype=np.float32)
+    obs, _ = make_scene(cat, code, T_wo, n_frames=CFG.n_frame,
+                        n_fg=CFG.n_fg_pix, n_bg=CFG.n_bg_pix,
+                        n_points=CFG.recon_n_pts, seed=11)
+    obs_b = jax.tree_util.tree_map(lambda a: a[None], obs)
+    # perturb the init by a 25 deg yaw about the object y axis
+    a = np.radians(25.0)
+    R_y = np.array([[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                    [-np.sin(a), 0, np.cos(a)]], np.float32)
+    T0 = np.eye(4, dtype=np.float32)
+    T0[:3, :3] = R_y
+    T0_b = jnp.asarray(T0)[None]
+    lat0 = jnp.zeros((1, spec.code_length), jnp.float32)
+
+    def rel_rot_y_deg(res):
+        """|y component| [deg] of the axis-angle of R_est_descaled @ R0^T."""
+        R = np.asarray(res.T_ow)[0, :3, :3].astype(np.float64)
+        R = R / np.linalg.det(R) ** (1.0 / 3.0)
+        R_rel = R @ T0[:3, :3].astype(np.float64).T
+        ang = float(rotation_matrix_to_angle(jnp.asarray(R_rel)))
+        if ang < 1e-9:
+            return 0.0
+        axis = np.array([R_rel[2, 1] - R_rel[1, 2],
+                         R_rel[0, 2] - R_rel[2, 0],
+                         R_rel[1, 0] - R_rel[0, 1]]) / (2.0 * np.sin(ang))
+        return abs(np.degrees(ang * axis[1]))
+
+    cfg = dataclasses.replace(CFG, max_iter=6)
+    base = shape_pose_joint_opt_batched(params, spec, cfg, obs_b, lat0, T0_b, 0.1)
+    zero = shape_pose_joint_opt_batched(
+        params, spec, dataclasses.replace(cfg, yaw_damp=0.0),
+        obs_b, lat0, T0_b, 0.1)
+    np.testing.assert_array_equal(np.asarray(base.T_ow), np.asarray(zero.T_ow))
+    np.testing.assert_array_equal(np.asarray(base.latent), np.asarray(zero.latent))
+
+    huge = shape_pose_joint_opt_batched(
+        params, spec, dataclasses.replace(cfg, yaw_damp=1e6),
+        obs_b, lat0, T0_b, 0.1)
+    # the y (yaw) rotation component must stay at the init under the frozen
+    # tangent; the baseline solver moves it to chase the 25 deg perturbation
+    assert rel_rot_y_deg(huge) < 1.0, f"yaw moved {rel_rot_y_deg(huge):.2f} deg"
+    assert rel_rot_y_deg(base) > rel_rot_y_deg(huge)
+
+
+def test_rot_damp_freezes_all_rotation():
+    """rot_damp damps all three rotation tangents: with a huge value the
+    full rotation block stays at the init."""
+    import dataclasses
+
+    from hortimapping_tpu.ops.lie import rotation_matrix_to_angle
+
+    params, spec = config_decoder(ASSET_DIR)
+    cat = SyntheticCategory(spec=spec)
+    code = np.zeros(spec.code_length, np.float32)
+    obs, _ = make_scene(cat, code, np.eye(4, dtype=np.float32),
+                        n_frames=CFG.n_frame, n_fg=CFG.n_fg_pix,
+                        n_bg=CFG.n_bg_pix, n_points=CFG.recon_n_pts, seed=13)
+    obs_b = jax.tree_util.tree_map(lambda a: a[None], obs)
+    # tilt about x AND yaw about y
+    ax, ay = np.radians(15.0), np.radians(20.0)
+    R_x = np.array([[1, 0, 0], [0, np.cos(ax), -np.sin(ax)],
+                    [0, np.sin(ax), np.cos(ax)]], np.float32)
+    R_y = np.array([[np.cos(ay), 0, np.sin(ay)], [0, 1, 0],
+                    [-np.sin(ay), 0, np.cos(ay)]], np.float32)
+    T0 = np.eye(4, dtype=np.float32)
+    T0[:3, :3] = R_y @ R_x
+    T0_b = jnp.asarray(T0)[None]
+    lat0 = jnp.zeros((1, spec.code_length), jnp.float32)
+
+    import dataclasses as dc
+    cfg = dc.replace(CFG, max_iter=6, rot_damp=1e6)
+    res = shape_pose_joint_opt_batched(params, spec, cfg, obs_b, lat0, T0_b, 0.1)
+    R = np.asarray(res.T_ow)[0, :3, :3].astype(np.float64)
+    R = R / np.linalg.det(R) ** (1.0 / 3.0)
+    d_rot = float(rotation_matrix_to_angle(
+        jnp.asarray(R @ T0[:3, :3].astype(np.float64).T)))
+    assert np.degrees(d_rot) < 1.0, f"rotation moved {np.degrees(d_rot):.1f} deg"

@@ -36,13 +36,16 @@ N_FRAMES = int(os.environ.get("N_FRAMES", "5"))
 def variant_tpu_block(name: str) -> tuple:
     """-> (opt.tpu dict, max_iter override or None).
 
-    Variant grammar: base[_s1][_prN][_tr][_ppN][_itN]; base = mean |
-    retrieval | retrieval_msK. `_s1` scores the retrieval at unit scale
-    only — for SE(3) workloads (lab) where an init-scale offset could never
-    be optimized away, and for one-view workloads where scale is ambiguous.
-    `_prN` sets the prior-shrinkage penalty retrieval_prior_w = N/100.
-    `_ppN` runs N code-frozen pose-polish iterations after the joint
-    solve."""
+    Variant grammar: base[_s1][_prN][_tr][_ydX][_rdX][_sdX][_rsN][_ppN][_itN];
+    base = mean | retrieval | retrieval_msK. `_s1` scores the retrieval at
+    unit scale only — for SE(3) workloads (lab) where an init-scale offset
+    could never be optimized away, and for one-view workloads where scale is
+    ambiguous. `_prN` sets the prior-shrinkage penalty retrieval_prior_w =
+    N/100. `_ppN` runs N code-frozen pose-polish iterations after the joint
+    solve. `_ydX`/`_rdX`/`_sdX` set yaw_damp / rot_damp / s_damp to the
+    literal float X with `p` as the decimal point (e.g. `_yd0p01`). `_rsN`
+    turns on the selective multi-start rescue with N starts per hard lane
+    (optim/warmstart.selective_rescue)."""
     tpu: dict = {}
     max_iter = None
     base = name
@@ -54,6 +57,19 @@ def variant_tpu_block(name: str) -> tuple:
         # joint solve (optim/lm.pose_polish_batched)
         base, pp = base.rsplit("_pp", 1)
         tpu["pose_polish_iters"] = int(pp)
+    if "_sd" in base:
+        base, sd = base.rsplit("_sd", 1)
+        tpu["s_damp"] = float(sd.replace("p", "."))
+    if "_rs" in base:
+        # selective multi-start rescue of hard lanes: N = rescue_starts
+        base, rsn = base.rsplit("_rs", 1)
+        tpu["rescue_starts"] = int(rsn)
+    if "_rd" in base:
+        base, rd = base.rsplit("_rd", 1)
+        tpu["rot_damp"] = float(rd.replace("p", "."))
+    if "_yd" in base:
+        base, yd = base.rsplit("_yd", 1)
+        tpu["yaw_damp"] = float(yd.replace("p", "."))
     if base.endswith("_tr"):
         tpu["trust_region"] = True
         base = base[:-3]

@@ -1,12 +1,15 @@
 """Pool wild pose-noise head-to-head JSON dumps across --base-seed runs.
 
-    python tools/pool_wild_pose.py out1.json out2.json ...
+    python tools/pool_wild_pose.py [--variant NAME] [--against NAME]
+                                   out1.json out2.json ...
 
 Each input comes from `tools/reference_head2head_wild.py --pose-noise
---json-out ...` (must contain the `reference` variant). Prints pooled
-paired statistics (ours shipped retrieval+c2f vs the genuine reference):
-mean delta +- sem per metric, win counts — the same discipline as the
-lab/greenhouse pooled studies (tools/pool_h2h.py).
+--json-out ...` (must contain the `--against` variant; default
+`reference`, which requires runs made without --ours-only). Prints pooled
+paired statistics (the `--variant` rows, default the shipped
+retrieval+c2f, vs the against side): mean delta +- sem per metric, win
+counts — the same discipline as the lab/greenhouse pooled studies
+(tools/pool_h2h.py).
 """
 
 from __future__ import annotations
@@ -18,7 +21,17 @@ import numpy as np
 
 
 def main() -> None:
-    paths = sys.argv[1:]
+    argv = sys.argv[1:]
+    variant, against = "retrieval", "reference"
+    if "--variant" in argv:
+        i = argv.index("--variant")
+        variant = argv[i + 1]
+        del argv[i:i + 2]
+    if "--against" in argv:
+        i = argv.index("--against")
+        against = argv[i + 1]
+        del argv[i:i + 2]
+    paths = argv
     if not paths:
         sys.exit(__doc__)
     metrics = ["cd_mm", "trans_mm", "rot_deg", "scale_pct"]
@@ -27,15 +40,17 @@ def main() -> None:
     for p in paths:
         with open(p) as f:
             d = json.load(f)
-        if "reference" not in d["variants"]:
-            sys.exit(f"{p}: no reference variant (run without --ours-only)")
+        for side, name in [("ours", variant), ("against", against)]:
+            if name not in d["variants"]:
+                sys.exit(f"{p}: no '{name}' variant "
+                         f"(has: {sorted(d['variants'])})")
         for m in metrics:
-            if m in d["variants"]["retrieval"]:
-                ours[m] += d["variants"]["retrieval"][m]
-                ref[m] += d["variants"]["reference"][m]
+            if m in d["variants"][variant]:
+                ours[m] += d["variants"][variant][m]
+                ref[m] += d["variants"][against][m]
     n = len(ours["cd_mm"])
     print(f"pooled N = {n} fruits over {len(paths)} run(s); "
-          "paired ours(retrieval+c2f) - reference:")
+          f"paired ours({variant}) - {against}:")
     for m in metrics:
         if not ours[m]:
             continue

@@ -53,6 +53,12 @@ def main() -> None:
     ap.add_argument("--json-out", type=str, default=None,
                     help="dump per-fruit CD + pose metrics per variant as "
                          "JSON (for pooling across --base-seed runs)")
+    ap.add_argument("--extra", type=str, default="",
+                    help="comma-separated damping variants applied ON TOP of "
+                         "the shipped retrieval+c2f config; each is tokens "
+                         "joined by '_': ydX (yaw_damp), rdX (rot_damp), "
+                         "sdX (s_damp), X a literal float with p as decimal "
+                         "point — e.g. 'yd0p1,yd1,sd0p01_yd0p1'")
     args = ap.parse_args()
 
     import torch
@@ -184,6 +190,24 @@ def main() -> None:
     )
     cd_ret = cds(r_ret.latent, r_ret.T_ow)
 
+    # extra damping variants on top of the shipped config (tuning/holdout
+    # probes for the yaw-damp / annealed-s_damp modes)
+    def parse_extra(v: str) -> dict:
+        field = {"yd": "yaw_damp", "rd": "rot_damp", "sd": "s_damp"}
+        kw = {}
+        for tok in v.split("_"):
+            kw[field[tok[:2]]] = float(tok[2:].replace("p", "."))
+        return kw
+
+    extra_rows = {}  # name -> (cd array, T_ow)
+    for v in [x for x in args.extra.split(",") if x]:
+        cfg_x = dataclasses.replace(cfg_ret, **parse_extra(v))
+        r_x = retrieval_joint_opt(
+            params, spec, cfg_x, latent_table, obs_b, T0, 0.08,
+            n_score_pts=128, score_bf16=True, **retr_scale_kw,
+        )
+        extra_rows[v] = (cds(r_x.latent, r_x.T_ow), r_x.T_ow)
+
     def dump_json(ref_rows=None):
         if not args.json_out:
             return
@@ -193,7 +217,7 @@ def main() -> None:
                "pose_noise": bool(args.pose_noise),
                "retr_scales": args.retr_scales, "variants": {}}
         rows = {"parity": (cd_par, r_par.T_ow), "c2f": (cd_c2f, r_c2f.T_ow),
-                "retrieval": (cd_ret, r_ret.T_ow)}
+                "retrieval": (cd_ret, r_ret.T_ow), **extra_rows}
         if ref_rows is not None:
             rows["reference"] = ref_rows
         if args.pose_noise:
@@ -219,6 +243,9 @@ def main() -> None:
               f"(max {cd_c2f.max()*1e3:.3f})")
         print(f"ours, retrieval+c2f (bench):   {cd_ret.mean()*1e3:.4f} mm "
               f"(max {cd_ret.max()*1e3:.3f})")
+        for v, (cd_x, _) in extra_rows.items():
+            print(f"ours, retrieval+c2f +{v}:   {cd_x.mean()*1e3:.4f} mm "
+                  f"(max {cd_x.max()*1e3:.3f})")
         print("per-fruit CD [mm]:")
         for b in range(args.n_fruits):
             print(f"  fruit {b}: parity {cd_par[b]*1e3:.3f}  "
@@ -229,6 +256,8 @@ def main() -> None:
             pose_row("ours parity:        ", r_par.T_ow)
             pose_row("ours c2f:           ", r_c2f.T_ow)
             pose_row("ours retrieval+c2f: ", r_ret.T_ow)
+            for v, (_, T_x) in extra_rows.items():
+                pose_row(f"ours +{v}: ".ljust(20), T_x)
         dump_json()
         return
 
@@ -273,6 +302,8 @@ def main() -> None:
         pose_row("ours parity:        ", r_par.T_ow)
         pose_row("ours c2f:           ", r_c2f.T_ow)
         pose_row("ours retrieval+c2f: ", r_ret.T_ow)
+        for v, (_, T_x) in extra_rows.items():
+            pose_row(f"ours +{v}: ".ljust(20), T_x)
     dump_json(ref_rows=(cd_ref, np.stack(T_refs)))
 
 
