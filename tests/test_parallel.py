@@ -183,3 +183,22 @@ def test_init_multi_host_passthrough(monkeypatch):
                      "num_processes": 4, "process_id": 2}
     assert mesh.axis_names == ("fruit",)
     assert mesh.devices.size == len(jax.devices())
+
+
+@pytest.mark.slow
+def test_multihost_smoke_two_processes():
+    """Genuine two-process `jax.distributed` coordination (VERDICT r4 M3):
+    spawns tools/multihost_smoke.py, which boots a coordinator + 2 worker
+    processes (2 CPU devices each), builds the global 4-device fruit mesh via
+    `init_multi_host`, runs one sharded joint solve step, and gathers the
+    per-lane flags across processes."""
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "multihost_smoke.py")],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout[-4000:] + proc.stderr[-2000:]
+    assert proc.stdout.count("MULTIHOST_SMOKE_OK") == 2, proc.stdout[-4000:]
