@@ -36,8 +36,8 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
-def _lab_cfg(data_dir: str, deepsdf_dir: str) -> dict:
-    return {
+def _lab_cfg(data_dir: str, deepsdf_dir: str, category: str = "pepper") -> dict:
+    cfg = {
         "run_name": "h2h_lab", "deepsdf_dir": deepsdf_dir,
         "data_dir": data_dir, "fruit_id": "none",
         "split": os.path.join(data_dir, "split.json"),
@@ -61,6 +61,21 @@ def _lab_cfg(data_dir: str, deepsdf_dir: str) -> dict:
         "vis": {"log_on": False, "vis_on": False, "wandb_log_on": False,
                 "object_radius_max_m": 0.08, "mc_res_mm": 4.0},
     }
+    if category == "berry":
+        # strawberry-scale knobs from the reference's lab_berry.yaml (vs
+        # lab_pepper.yaml): Sim(3) scale estimation on, lambda_0 1.0 with no
+        # extra scale damping, tighter recon clustering/robust thresholds,
+        # logistic sdf->occ conversion, 0.04 m radius at 1 mm meshing
+        # (/root/reference/configs/lab_berry.yaml:28-70). Sampling counts
+        # stay at the tool's reduced-budget values (same both sides).
+        cfg["opt"]["scale_on"] = True
+        cfg["opt"]["lm"].update({"lm_lambda_0": 1.0, "s_damp": 0.0})
+        cfg["opt"]["recon"].update({"cluster_dist_m": 0.008,
+                                    "robust_th_m": 0.003})
+        cfg["opt"]["render"].update({"log_sdf_occ": True,
+                                     "occ_cutoff_m": 0.005})
+        cfg["vis"].update({"object_radius_max_m": 0.04, "mc_res_mm": 1.0})
+    return cfg
 
 
 def _gh_cfg(data_dir: str, deepsdf_dir: str) -> dict:
@@ -94,6 +109,10 @@ def _gh_cfg(data_dir: str, deepsdf_dir: str) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", choices=["lab", "greenhouse"], required=True)
+    ap.add_argument("--category", choices=["pepper", "berry"], default="pepper",
+                    help="fruit category: pepper (sweetpepper_32 stand-in) or "
+                         "berry (strawberry_32-scale asset + lab_berry.yaml "
+                         "config; lab family only)")
     ap.add_argument("--n-fruits", type=int, default=4)
     ap.add_argument("--n-frames", type=int, default=6)
     ap.add_argument("--seed", type=int, default=23)
@@ -140,9 +159,15 @@ def main() -> None:
 
     from tests import reference_shim as rs
 
-    deepsdf_dir = os.path.join(ROOT, "assets", "synthetic_pepper_32")
+    if args.category == "berry" and args.family != "lab":
+        sys.exit("--category berry is lab-only (the reference's strawberry "
+                 "experiments are the IGG lab dataset)")
+    deepsdf_dir = os.path.join(ROOT, "assets",
+                               f"synthetic_{args.category}_32")
+    cat_tag = "" if args.category == "pepper" else f"_{args.category}"
     data_dir = os.path.join(
-        ROOT, "data", f"h2h_{args.family}_s{args.seed}_n{args.n_fruits}")
+        ROOT, "data",
+        f"h2h_{args.family}{cat_tag}_s{args.seed}_n{args.n_fruits}")
 
     if args.family == "lab":
         from hortimapping_tpu.pipeline.lab import (
@@ -153,7 +178,7 @@ def main() -> None:
             print(f"generating lab dataset in {data_dir}")
             make_lab_dataset(data_dir, deepsdf_dir, n_fruits=args.n_fruits,
                              n_frames=args.n_frames, seed=args.seed)
-        cfg = _lab_cfg(data_dir, deepsdf_dir)
+        cfg = _lab_cfg(data_dir, deepsdf_dir, args.category)
         run_eval = lambda: run_lab_eval(cfg, multi_frame=args.multi,
                                         log=lambda *a: None)
         prep = lambda oc: prepare_lab_instances(cfg, oc, multi_frame=args.multi)
@@ -285,6 +310,7 @@ def main() -> None:
 
         rec = {
             "family": args.family, "multi": bool(args.multi),
+            "category": args.category,
             "seed": args.seed, "n_fruits": args.n_fruits,
             "variant": args.variant, "cpu": bool(args.cpu),
             "summary": {k: (float(ov), float(rv)) for k, ov, rv in rows},

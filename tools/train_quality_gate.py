@@ -47,16 +47,28 @@ sys.path.insert(0, os.path.join(ROOT, "tools"))
 CD_MARGIN_MM = 0.5  # trained-vs-shipped challenge CD gap the gate allows
 
 
+def _category_asset(category: str) -> tuple:
+    """-> (asset dir, base radius, object radius, mc res [mm]) — pepper is
+    the sweetpepper_32-scale stand-in, berry the strawberry_32 one
+    (ClampingDistance 0.05, 0.03 m base radius; the challenge gate then
+    meshes at the lab_berry.yaml scale, 0.04 m / 1 mm)."""
+    if category == "berry":
+        return (os.path.join(ROOT, "assets", "synthetic_berry_32"),
+                0.03, 0.04, 1.0)
+    return (os.path.join(ROOT, "assets", "synthetic_pepper_32"),
+            0.06, 0.08, 4.0)
+
+
 def make_sdf_dataset(data_dir: str, n_scenes: int, n_cap: int = 16384,
-                     seed: int = 7) -> None:
+                     seed: int = 7, category: str = "pepper") -> None:
     """Analytic-family SdfSamples in the upstream layout (pure numpy)."""
     from hortimapping_tpu.models.workspace import load_specs
     from hortimapping_tpu.models.decoder import DecoderSpec
     from hortimapping_tpu.tools.synthetic import SyntheticCategory, _ellipsoid_sdf_np
 
-    spec = DecoderSpec.from_specs_json(
-        load_specs(os.path.join(ROOT, "assets", "synthetic_pepper_32")))
-    cat = SyntheticCategory(spec=spec, base_radius=0.06)
+    asset, base_radius, _, _ = _category_asset(category)
+    spec = DecoderSpec.from_specs_json(load_specs(asset))
+    cat = SyntheticCategory(spec=spec, base_radius=base_radius)
     proj = cat.projection()
     out = os.path.join(data_dir, "SdfSamples")
     os.makedirs(out, exist_ok=True)
@@ -90,9 +102,10 @@ def make_sdf_dataset(data_dir: str, n_scenes: int, n_cap: int = 16384,
         )
 
 
-def make_experiment(exp_dir: str, data_dir: str, epochs: int) -> None:
+def make_experiment(exp_dir: str, data_dir: str, epochs: int,
+                    category: str = "pepper") -> None:
     os.makedirs(exp_dir, exist_ok=True)
-    with open(os.path.join(ROOT, "assets", "synthetic_pepper_32", "specs.json")) as f:
+    with open(os.path.join(_category_asset(category)[0], "specs.json")) as f:
         specs = json.load(f)
     # reference-scale training fields (sweetpepper_32 specs.json convention)
     specs.update({
@@ -116,7 +129,8 @@ def make_experiment(exp_dir: str, data_dir: str, epochs: int) -> None:
         json.dump(specs, f, indent=1)
 
 
-def sdf_accuracy(exp_dir: str, n_probe: int = 32) -> float:
+def sdf_accuracy(exp_dir: str, n_probe: int = 32,
+                 category: str = "pepper") -> float:
     """Mean |pred - analytic| [m] on near-surface points of learned codes.
 
     The auto-decoder's learned code for scene s embeds the shape that
@@ -131,7 +145,8 @@ def sdf_accuracy(exp_dir: str, n_probe: int = 32) -> float:
 
     params, spec = config_decoder(exp_dir)
     codes = np.asarray(load_latent_vectors(exp_dir))
-    cat = SyntheticCategory(spec=spec, base_radius=0.06)
+    cat = SyntheticCategory(spec=spec,
+                            base_radius=_category_asset(category)[1])
     proj = cat.projection()
     specs = load_specs(exp_dir)
     sdf_dir = os.path.join(specs["DataSource"], "SdfSamples")
@@ -155,7 +170,8 @@ def sdf_accuracy(exp_dir: str, n_probe: int = 32) -> float:
     return float(np.mean(errs))
 
 
-def challenge_cd(deepsdf_dir: str, data_dir: str, variant: str) -> tuple:
+def challenge_cd(deepsdf_dir: str, data_dir: str, variant: str,
+                 category: str = "pepper") -> tuple:
     """-> (mean CD [mm], n_empty). Instances whose completed mesh came out
     EMPTY score CD = 0 by the reference's own metric convention
     (`/root/reference/metrics_3d/chamfer_distance.py:17-18`) — a "perfect"
@@ -168,6 +184,10 @@ def challenge_cd(deepsdf_dir: str, data_dir: str, variant: str) -> tuple:
 
     cfg = load_config(os.path.join(
         ROOT, "configs", "shape_completion_challenge_pepper.yaml"))
+    if category == "berry":
+        _, _, radius, mc_res = _category_asset(category)
+        cfg["vis"]["object_radius_max_m"] = radius
+        cfg["vis"]["mc_res_mm"] = mc_res
     cfg["data_dir"] = data_dir
     cfg["split"] = "val"
     cfg["deepsdf_dir"] = deepsdf_dir
@@ -188,6 +208,11 @@ def main() -> int:
     ap.add_argument("--scenes", type=int, default=512)
     ap.add_argument("--epochs", type=int, default=1000)
     ap.add_argument("--variant", default="retrieval")
+    ap.add_argument("--category", choices=["pepper", "berry"],
+                    default="pepper",
+                    help="train/gate the pepper (sweetpepper_32-scale) or "
+                         "berry (strawberry_32-scale, ClampingDistance 0.05) "
+                         "category")
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse an existing trained checkpoint")
     args = ap.parse_args()
@@ -197,15 +222,18 @@ def main() -> int:
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/horti_jax_cache"))
 
-    data_dir = os.path.join(ROOT, "data", f"train_full_pepper_{args.scenes}")
-    exp_dir = os.path.join(ROOT, "data", f"exp_pepper_32_trained_{args.scenes}")
+    data_dir = os.path.join(
+        ROOT, "data", f"train_full_{args.category}_{args.scenes}")
+    exp_dir = os.path.join(
+        ROOT, "data", f"exp_{args.category}_32_trained_{args.scenes}")
     rec = {"metric": "trainer_quality_gate", "scenes": args.scenes,
-           "epochs": args.epochs, "variant": args.variant}
+           "epochs": args.epochs, "variant": args.variant,
+           "category": args.category}
 
     if not os.path.isdir(os.path.join(data_dir, "SdfSamples")):
         print(f"generating {args.scenes}-scene SdfSamples...", file=sys.stderr)
-        make_sdf_dataset(data_dir, args.scenes)
-    make_experiment(exp_dir, data_dir, args.epochs)
+        make_sdf_dataset(data_dir, args.scenes, category=args.category)
+    make_experiment(exp_dir, data_dir, args.epochs, category=args.category)
 
     if not (args.skip_train and os.path.isfile(
             os.path.join(exp_dir, "native", "latest.npz"))):
@@ -230,19 +258,24 @@ def main() -> int:
                 st_steps * 64 * 8192 / tm["steady_wall_s"] / 1e6, 2)
         rec["final_loss"] = float(result.losses[-1])
 
-    rec["sdf_mae_mm"] = round(sdf_accuracy(exp_dir) * 1e3, 4)
+    rec["sdf_mae_mm"] = round(
+        sdf_accuracy(exp_dir, category=args.category) * 1e3, 4)
 
     # one shared challenge dataset; GT comes from the analytic family both
     # decoders model
-    ch_dir = os.path.join(ROOT, "data", "train_gate_challenge_s55_n12")
+    asset = _category_asset(args.category)[0]
+    ch_tag = "" if args.category == "pepper" else f"_{args.category}"
+    ch_dir = os.path.join(ROOT, "data",
+                          f"train_gate_challenge{ch_tag}_s55_n12")
     if not os.path.isdir(os.path.join(ch_dir, "val")):
         from hortimapping_tpu.tools.make_demo_data import make_challenge_dataset
 
-        make_challenge_dataset(ch_dir, os.path.join(ROOT, "assets", "synthetic_pepper_32"),
+        make_challenge_dataset(ch_dir, asset,
                                split="val", n_fruits=12, n_frames=3, seed=55)
     cd_shipped, empty_shipped = challenge_cd(
-        os.path.join(ROOT, "assets", "synthetic_pepper_32"), ch_dir, args.variant)
-    cd_trained, empty_trained = challenge_cd(exp_dir, ch_dir, args.variant)
+        asset, ch_dir, args.variant, category=args.category)
+    cd_trained, empty_trained = challenge_cd(
+        exp_dir, ch_dir, args.variant, category=args.category)
     rec["challenge_cd_shipped_mm"] = round(cd_shipped, 4)
     rec["challenge_cd_trained_mm"] = round(cd_trained, 4)
     rec["empty_meshes_shipped"] = empty_shipped
