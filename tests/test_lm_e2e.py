@@ -431,3 +431,33 @@ def test_robust_kernel_resists_outliers(world):
         jnp.asarray(T_ow_init, jnp.float32)[None], CUBE_RADIUS)
     terr_c2f = _translation_error(res_c.T_ow[0], T_wo_gt)
     assert terr_c2f < 0.008, f"c2f robust solve drifted {terr_c2f*1000:.1f} mm"
+
+
+def test_coarse_s_damp_anneals_scale_damping():
+    """opt.tpu.coarse_s_damp anchors the scale tangent ONLY in the c2f
+    coarse phase: the coarse cfg gets the override, the fine phase keeps
+    the reference-level s_damp (annealed scale damping for warm starts)."""
+    import dataclasses
+
+    from hortimapping_tpu.config import JointOptConfig
+    from hortimapping_tpu.optim.lm import subsample_observations
+    from hortimapping_tpu.optim.state import FruitObservations
+
+    cfg = JointOptConfig.from_dict(
+        {"opt": {"tpu": {"coarse_s_damp": 0.3}, "lm": {"s_damp": 1e-3}}})
+    assert cfg.coarse_s_damp == 0.3 and cfg.s_damp == 1e-3
+
+    F, R, P = cfg.n_frame, cfg.n_fg_pix + cfg.n_bg_pix, cfg.recon_n_pts
+    obs = FruitObservations(
+        T_wc=jnp.tile(jnp.eye(4)[None], (F, 1, 1)),
+        rays=jnp.zeros((F, R, 3)), ray_valid=jnp.ones((F, R), bool),
+        depth_obs=jnp.zeros((F, R)), frame_valid=jnp.ones((F,), bool),
+        points_w=jnp.zeros((P, 3)), point_valid=jnp.ones((P,), bool))
+    _, coarse_cfg = subsample_observations(obs, cfg)
+    assert coarse_cfg.s_damp == 0.3           # anchored while basin is chosen
+    # fine phase inherits cfg directly (coarse_to_fine_joint_opt) -> 1e-3
+    assert cfg.s_damp == 1e-3
+    # 0 = inherit
+    _, c2 = subsample_observations(obs, dataclasses.replace(
+        cfg, coarse_s_damp=0.0))
+    assert c2.s_damp == 1e-3

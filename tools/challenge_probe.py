@@ -36,16 +36,17 @@ N_FRAMES = int(os.environ.get("N_FRAMES", "5"))
 def variant_tpu_block(name: str) -> tuple:
     """-> (opt.tpu dict, max_iter override or None).
 
-    Variant grammar: base[_s1][_prN][_tr][_ydX][_rdX][_sdX][_rsN][_ppN][_itN];
+    Variant grammar: base[_s1][_prN][_tr][_ydX][_rdX][_csX][_sdX][_rsN][_ppN]
+    [_itN] (suffixes in this order);
     base = mean | retrieval | retrieval_msK. `_s1` scores the retrieval at
     unit scale only — for SE(3) workloads (lab) where an init-scale offset
     could never be optimized away, and for one-view workloads where scale is
     ambiguous. `_prN` sets the prior-shrinkage penalty retrieval_prior_w =
     N/100. `_ppN` runs N code-frozen pose-polish iterations after the joint
-    solve. `_ydX`/`_rdX`/`_sdX` set yaw_damp / rot_damp / s_damp to the
-    literal float X with `p` as the decimal point (e.g. `_yd0p01`). `_rsN`
-    turns on the selective multi-start rescue with N starts per hard lane
-    (optim/warmstart.selective_rescue)."""
+    solve. `_ydX`/`_rdX`/`_csX`/`_sdX` set yaw_damp / rot_damp /
+    coarse_s_damp / s_damp to the literal float X with `p` as the decimal
+    point (e.g. `_yd0p01`). `_rsN` turns on the selective multi-start rescue
+    with N starts per hard lane (optim/warmstart.selective_rescue)."""
     tpu: dict = {}
     max_iter = None
     base = name
@@ -57,13 +58,17 @@ def variant_tpu_block(name: str) -> tuple:
         # joint solve (optim/lm.pose_polish_batched)
         base, pp = base.rsplit("_pp", 1)
         tpu["pose_polish_iters"] = int(pp)
-    if "_sd" in base:
-        base, sd = base.rsplit("_sd", 1)
-        tpu["s_damp"] = float(sd.replace("p", "."))
     if "_rs" in base:
         # selective multi-start rescue of hard lanes: N = rescue_starts
         base, rsn = base.rsplit("_rs", 1)
         tpu["rescue_starts"] = int(rsn)
+    if "_sd" in base:
+        base, sd = base.rsplit("_sd", 1)
+        tpu["s_damp"] = float(sd.replace("p", "."))
+    if "_cs" in base:
+        # annealed scale damping: coarse-phase-only s_damp override
+        base, cs = base.rsplit("_cs", 1)
+        tpu["coarse_s_damp"] = float(cs.replace("p", "."))
     if "_rd" in base:
         base, rd = base.rsplit("_rd", 1)
         tpu["rot_damp"] = float(rd.replace("p", "."))

@@ -131,6 +131,13 @@ def main() -> None:
     ap.add_argument("--json-out", default=None,
                     help="write per-instance paired rows as JSON (for "
                          "pooling multiple seeds into one N>=16 verdict)")
+    ap.add_argument("--reuse-ref", default=None,
+                    help="path to a prior --json-out file for the SAME "
+                         "(family, multi, seed, n_fruits): reuse its genuine "
+                         "reference per-instance rows instead of re-running "
+                         "the slow CPU-torch side — dataset generation is "
+                         "seed-deterministic, so the pairing stays valid "
+                         "when only the OURS-side variant changes")
     args = ap.parse_args()
 
     import torch
@@ -222,11 +229,42 @@ def main() -> None:
     # ---------------- ours ----------------
     print(f"== ours (pipeline/{args.family}, {mode}) ==")
     summary_ours = run_eval()
+    from hortimapping_tpu.optim import warmstart as _ws
+
+    if _ws.LAST_RESCUE_INFO:
+        summary_ours["rescue"] = dict(_ws.LAST_RESCUE_INFO)
+        print(f"rescue: {summary_ours['rescue']}")
     print(f"ours: CD {summary_ours['CD[mm]']:.4f} mm  "
           f"F1 {summary_ours['F-score[%]']:.2f}%  "
           f"iters {summary_ours['iteration']:.1f} over {summary_ours['frames']} instances")
 
     # ---------------- reference ----------------
+    if args.reuse_ref:
+        import json
+
+        with open(args.reuse_ref) as f:
+            prior = json.load(f)
+        key = ("family", "multi", "seed", "n_fruits")
+        assert tuple(prior[k] for k in key) == (
+            args.family, bool(args.multi), args.seed, args.n_fruits), (
+            "reuse-ref file is for a different workload: "
+            f"{ {k: prior[k] for k in key} }")
+        assert prior.get("category", "pepper") == args.category
+        ref_rows = [
+            [i["label"], i["ref_cd_mm"], -1]
+            + ([i["ref_trans_mm"], i["ref_rot_deg"]]
+               if args.family == "greenhouse" else [])
+            for i in prior["instances"]
+        ]
+        assert len(ref_rows) == summary_ours["frames"], (
+            "stored reference rows diverged from the pipeline's own prep")
+        cd = float(np.mean([r[1] for r in ref_rows])) * 1e-3
+        f1 = float(prior["summary"]["F-score[%]"][1])
+        print(f"== reference (genuine rows reused from {args.reuse_ref}) ==")
+        print(f"reference: CD {cd*1e3:.4f} mm  F1 {f1:.2f}%")
+        _paired_table(args, summary_ours, ref_rows, cd, f1)
+        return
+
     print("== reference (shimmed /root/reference optimizer, CPU torch) ==")
     params, spec = config_decoder(deepsdf_dir, "latest")
     init_latent = np.asarray(jnp.mean(load_latent_vectors(deepsdf_dir), axis=0))
@@ -282,6 +320,10 @@ def main() -> None:
           f"iters {np.mean([r[2] for r in ref_rows]):.1f}  "
           f"time/inst {t_ref/len(ref_rows):.2f}s")
 
+    _paired_table(args, summary_ours, ref_rows, cd, f1)
+
+
+def _paired_table(args, summary_ours, ref_rows, cd, f1) -> None:
     # ---------------- paired table ----------------
     print("\n== head-to-head ==")
     rows = [("CD[mm]", summary_ours["CD[mm]"], cd * 1e3),
@@ -314,6 +356,8 @@ def main() -> None:
             "seed": args.seed, "n_fruits": args.n_fruits,
             "variant": args.variant, "cpu": bool(args.cpu),
             "summary": {k: (float(ov), float(rv)) for k, ov, rv in rows},
+            **({"rescue": summary_ours["rescue"]}
+               if "rescue" in summary_ours else {}),
             "instances": [
                 {"label": r[0], "ours_cd_mm": float(o), "ref_cd_mm": float(r[1]),
                  **({"ours_trans_mm": float(to), "ref_trans_mm": float(r[3]),

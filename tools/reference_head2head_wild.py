@@ -193,10 +193,13 @@ def main() -> None:
     # extra damping variants on top of the shipped config (tuning/holdout
     # probes for the yaw-damp / annealed-s_damp modes)
     def parse_extra(v: str) -> dict:
-        field = {"yd": "yaw_damp", "rd": "rot_damp", "sd": "s_damp"}
+        field = {"yd": "yaw_damp", "rd": "rot_damp", "sd": "s_damp",
+                 "cs": "coarse_s_damp", "pp": "pose_polish_iters"}
         kw = {}
         for tok in v.split("_"):
-            kw[field[tok[:2]]] = float(tok[2:].replace("p", "."))
+            val = tok[2:].replace("p", ".") if tok[:2] != "pp" else tok[2:]
+            f = field[tok[:2]]
+            kw[f] = int(val) if f == "pose_polish_iters" else float(val)
         return kw
 
     extra_rows = {}  # name -> (cd array, T_ow)
