@@ -137,6 +137,13 @@ class JointOptConfig:
     coarse_pts_frac: float = 0.5
     coarse_max_iter: int = 0  # 0 = inherit max_iter
     fine_max_iter: int = 0    # 0 = inherit max_iter
+    # annealed scale damping: s_damp override for the COARSE phase only
+    # (0 = inherit s_damp, like coarse_max_iter). The coarse phase's
+    # subsampled objective is the noisiest part of the schedule; holding
+    # scale near the init there and releasing it for the full-resolution
+    # polish is the annealed variant of the reference's constant scale
+    # damping (`optimizer.py:217-218`).
+    coarse_s_damp: float = 0.0
     # fine-phase subsampling (defaults = full resolution, the validated
     # round-2 behavior). Fractions < 1 make phase B polish on a subsampled
     # problem too — worth it only where held-out validation proves the
@@ -316,6 +323,7 @@ class JointOptConfig:
             coarse_sample_frac=float(tpu.get("coarse_sample_frac", d.coarse_sample_frac)),
             coarse_pts_frac=float(tpu.get("coarse_pts_frac", d.coarse_pts_frac)),
             coarse_max_iter=int(tpu.get("coarse_max_iter", d.coarse_max_iter)),
+            coarse_s_damp=float(tpu.get("coarse_s_damp", d.coarse_s_damp)),
             fine_max_iter=int(tpu.get("fine_max_iter", d.fine_max_iter)),
             fine_frame_stride=int(tpu.get("fine_frame_stride", d.fine_frame_stride)),
             fine_ray_frac=float(tpu.get("fine_ray_frac", d.fine_ray_frac)),

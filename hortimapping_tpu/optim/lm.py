@@ -754,6 +754,9 @@ def subsample_observations(
         sub_cfg,
         max_iter=cfg.coarse_max_iter or cfg.max_iter,
         fused_tr=cfg.coarse_fused_tr or cfg.fused_tr,
+        # annealed scale damping: hold scale near the init through the noisy
+        # subsampled phase, release it for the full-resolution polish
+        s_damp=cfg.coarse_s_damp or cfg.s_damp,
     )
     return sub_obs, coarse_cfg
 

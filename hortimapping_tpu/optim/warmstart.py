@@ -41,6 +41,12 @@ from hortimapping_tpu.config import JointOptConfig
 from hortimapping_tpu.models.decoder import DecoderSpec, Params, decoder_apply
 from hortimapping_tpu.optim.state import FruitObservations, OptResult
 
+# Per-lane evidence of the most recent selective_rescue dispatch (cleared at
+# every warmstart_solve). The rescue studies (tools/reference_head2head_lab
+# --variant ..._rsN) attach this to their JSON dumps; a module global keeps
+# the pipeline return signatures unchanged for a diagnostics-only payload.
+LAST_RESCUE_INFO: dict = {}
+
 
 def _score_codes(
     params: Params,
@@ -279,15 +285,18 @@ def warmstart_solve(
             params, spec, opt_cfg, obs, top_codes[:, :K], top_T[:, :K],
             cube_radius, pose_known=pose_known,
         )
+    global LAST_RESCUE_INFO
+    LAST_RESCUE_INFO = {}
     res = solve_in_chunks(
         params, spec, opt_cfg, obs, latent0, T_ow0, cube_radius,
         pose_known=pose_known,
     )
     if opt_cfg.rescue_starts > 0 and opt_cfg.init_mode == "retrieval":
-        res, _ = selective_rescue(
+        res, info = selective_rescue(
             params, spec, opt_cfg, obs, res, latent_table, T_orig,
             cube_radius, pose_known=pose_known,
         )
+        LAST_RESCUE_INFO = info
     return res
 
 
