@@ -194,12 +194,14 @@ def main() -> None:
     # probes for the yaw-damp / annealed-s_damp modes)
     def parse_extra(v: str) -> dict:
         field = {"yd": "yaw_damp", "rd": "rot_damp", "sd": "s_damp",
-                 "cs": "coarse_s_damp", "pp": "pose_polish_iters"}
+                 "cs": "coarse_s_damp", "pp": "pose_polish_iters",
+                 "fm": "fine_max_iter"}
+        int_fields = {"pose_polish_iters", "fine_max_iter"}
         kw = {}
         for tok in v.split("_"):
-            val = tok[2:].replace("p", ".") if tok[:2] != "pp" else tok[2:]
             f = field[tok[:2]]
-            kw[f] = int(val) if f == "pose_polish_iters" else float(val)
+            val = tok[2:] if f in int_fields else tok[2:].replace("p", ".")
+            kw[f] = int(val) if f in int_fields else float(val)
         return kw
 
     extra_rows = {}  # name -> (cd array, T_ow)
