@@ -142,6 +142,31 @@ def test_tpu_solver_yaml_block_parses():
     assert tpu_opt == base["opt"]
 
 
+def test_noisyinit_yaml_pose_prior_block_parses():
+    """The imperfect-pose-init wild config (pose-prior mode, docs/PERF.md
+    round-5 pose-noise study) routes its damped-tangent knobs into
+    JointOptConfig, with opt.tpu.s_damp taking precedence over opt.lm.s_damp,
+    and differs from the trusted-init TPU config ONLY in those knobs."""
+    import os
+
+    from hortimapping_tpu.config import JointOptConfig, load_config
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    cfg = load_config(os.path.join(root, "wild_pepper_tpu_noisyinit.yaml"))
+    oc = JointOptConfig.from_dict(cfg)
+    assert oc.rot_damp == 1.0
+    assert oc.coarse_s_damp == 0.1
+    assert oc.s_damp == 0.01          # opt.tpu override beats opt.lm's 1e-3
+    assert oc.yaw_damp == 0.0         # rot_damp subsumes the yaw-only probe
+    # the rest of the solver stays the shipped retrieval+c2f schedule
+    base = JointOptConfig.from_dict(
+        load_config(os.path.join(root, "wild_pepper_tpu.yaml")))
+    import dataclasses
+    diffs = {f.name for f in dataclasses.fields(JointOptConfig)
+             if getattr(oc, f.name) != getattr(base, f.name)}
+    assert diffs == {"rot_damp", "coarse_s_damp", "s_damp"}
+
+
 def test_tpu_challenge_yaml_block_parses():
     """The shipped TPU challenge config's opt.tpu block (retrieval init +
     trust-region) routes into JointOptConfig, and everything outside the
