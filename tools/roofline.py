@@ -82,6 +82,9 @@ def main() -> None:
     ap.add_argument("--with-grids", action="store_true",
                     help="include the SDF grid decode + packed fetch "
                          "(the full bench dispatch) instead of solve-only")
+    ap.add_argument("--json-out", default=None,
+                    help="also dump {flops, device time, achieved TF/s, "
+                         "%% of peak} as JSON evidence")
     args = ap.parse_args()
 
     import jax
@@ -172,6 +175,20 @@ def main() -> None:
     print(f"  achieved           {tflops:7.1f} TFLOP/s")
     print(f"  v5e bf16 peak      {V5E_BF16_TFLOPS:7.1f} TFLOP/s  "
           f"-> {100 * tflops / V5E_BF16_TFLOPS:.0f}% MXU utilization")
+    if args.json_out:
+        import json
+        with open(args.json_out, "w") as f:
+            json.dump({
+                "program": label, "n_fruits": args.n_fruits,
+                "reps": args.reps,
+                "coarse_trips": coarse_trips, "fine_trips": fine_trips,
+                "executed_gflop_per_fruit": tot / 1e9,
+                "useful_over_executed_fwd": fwd_use / fwd_pad,
+                "ms_per_rep": dt * 1e3, "ms_per_fruit": ms_fruit,
+                "achieved_tflops": tflops,
+                "peak_bf16_tflops": V5E_BF16_TFLOPS,
+                "mxu_utilization_pct": 100 * tflops / V5E_BF16_TFLOPS,
+            }, f, indent=1)
 
 
 if __name__ == "__main__":
