@@ -102,9 +102,33 @@ class MeshExtractor:
         # size), and the device->host grid transfer is what bounds meshing
         # on remote-TPU links
         self._decode_grid = jax.jit(lambda l: _decode_grid(l).astype(jnp.float16))
-        self._decode_grid_batch = jax.jit(
-            jax.vmap(lambda l: _decode_grid(l).astype(jnp.float16))
-        )
+
+        # A full vmap keeps one [B, D^3, width] f32 activation live — at the
+        # berry meshing resolution (80^3, 1 mm) a 16-fruit batch is ~17 GB
+        # and compile-OOMs the 16 GB HBM. Serialize the outer axis with
+        # lax.map in chunks sized to an activation budget (CLAUDE.md:
+        # "scoring-sized vmaps can OOM"); small grids keep the single-shot
+        # vmap (the 40^3 B=32 bench path is unchanged).
+        width = max(spec.dims) if spec.dims else 512
+        budget = 6 * 1024**3
+        self._decode_chunk = max(1, budget // (voxels_dim**3 * width * 4))
+
+        def _decode_many(latents):
+            B = latents.shape[0]
+            f16 = lambda l: _decode_grid(l).astype(jnp.float16)
+            if B <= self._decode_chunk:
+                return jax.vmap(f16)(latents)
+            chunk = self._decode_chunk
+            npad = (-B) % chunk
+            lat = (
+                jnp.concatenate([latents, jnp.zeros((npad,) + latents.shape[1:], latents.dtype)])
+                if npad
+                else latents
+            )
+            out = jax.lax.map(jax.vmap(f16), lat.reshape(-1, chunk, *latents.shape[1:]))
+            return out.reshape(-1, out.shape[-1])[:B]
+
+        self._decode_grid_batch = jax.jit(_decode_many)
 
         def _pack_with_grids(res):
             # bit-exact f32 solve fields and f16 grids in one uint16 buffer:
@@ -114,7 +138,7 @@ class MeshExtractor:
             from hortimapping_tpu.optim.lm import pack_result
 
             head_f32 = pack_result(res)
-            grids = jax.vmap(lambda l: _decode_grid(l).astype(jnp.float16))(res.latent)
+            grids = _decode_many(res.latent)
             B = res.latent.shape[0]
             head = jax.lax.bitcast_convert_type(head_f32, jnp.uint16).reshape(B, -1)
             body = jax.lax.bitcast_convert_type(grids, jnp.uint16).reshape(B, -1)

@@ -365,3 +365,37 @@ def test_pack_solve_with_grids_roundtrip():
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g.vertices, w.vertices)
         np.testing.assert_array_equal(g.faces, w.faces)
+
+
+def test_batched_grid_decode_chunked_matches_vmap():
+    """Large batches serialize the outer axis with lax.map (HBM budget —
+    a 16-fruit 80^3 vmap compile-OOMed the chip); the chunked path must
+    match the single-shot vmap to f16 output precision, including the
+    padded tail. (Bit equality is NOT expected: different batch sizes let
+    XLA reassociate the f32 accumulations differently.)"""
+    import jax.numpy as jnp
+
+    from hortimapping_tpu.models.workspace import config_decoder
+
+    asset = os.path.join(os.path.dirname(__file__), "..", "assets",
+                         "synthetic_small_8")
+    if not os.path.isdir(asset):
+        pytest.skip("synthetic assets not built")
+    params, spec = config_decoder(asset)
+    mesher = MeshExtractor(params, spec, voxels_dim=16, cube_radius=0.1)
+
+    rng = np.random.default_rng(11)
+    latents = jnp.asarray(rng.normal(size=(5, spec.code_length)) * 0.3,
+                          jnp.float32)
+    want = np.asarray(jnp.stack([mesher._decode_grid(l) for l in latents]))
+
+    assert mesher._decode_chunk >= 5  # tiny grid: single-shot by default
+    got_vmap = np.asarray(mesher._decode_grid_batch(latents))
+    np.testing.assert_allclose(got_vmap, want, rtol=1e-2, atol=1e-3)
+
+    # force the chunked path (B=5, chunk=2 -> pad to 6, three map steps)
+    mesher._decode_chunk = 2
+    mesher._decode_grid_batch.clear_cache()
+    got_chunked = np.asarray(mesher._decode_grid_batch(latents))
+    assert got_chunked.shape == want.shape
+    np.testing.assert_allclose(got_chunked, want, rtol=1e-2, atol=1e-3)
