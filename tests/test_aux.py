@@ -219,6 +219,10 @@ def test_tpu_family_yaml_blocks_parse():
     assert oc.retrieval_n_scales == 1
     assert oc.retrieval_scale_min == 1.0 and oc.retrieval_scale_max == 1.0
     assert oc.scale_on is True
+    # round 5: damped rotation tangents + selective multi-start rescue
+    # (held-out N=45 fresh-seed h2h: rot 0.02 vs 43 deg, CD/trans parity)
+    assert oc.rot_damp == 0.3
+    assert oc.rescue_starts == 4
     base = load_config(os.path.join(root, "cka_pepper.yaml"))
     tpu_opt = dict(cfg["opt"])
     tpu_opt.pop("tpu")
